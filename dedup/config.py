@@ -1,0 +1,78 @@
+"""Frozen dedup configuration (SURVEY.md §7.0 — locked so the NumPy oracle
+and the Spark pipeline can never drift; all parity tests pin DEFAULT).
+
+Evidence for parameter choices: BASELINE.json:6 (north star names MinHash
+shingles, band hashing, multi-probe perturbation sequences, SimHash
+Hamming-ball, suffix/substring pass, Jaccard verification, large-star/
+small-star CC, salted two-stage aggregation); [MPLSH §4] for the probe
+sequence; [E2LSH] for the hash-family shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, asdict, replace
+import hashlib
+import json
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # global determinism
+    seed: int = 42
+
+    # --- stage 1: signatures -------------------------------------------
+    # normalization: unicode lower + collapse whitespace, applied to a COPY
+    # of `text` only (byte-identity invariant, BASELINE.json:15)
+    shingle_k: int = 5          # char k-shingles
+    minhash_k: int = 128        # K permutations, h_i(x) = (a_i*x+b_i) mod (2^61-1)
+    min_text_len: int = 5       # rows with shorter normalized text are skipped (P2)
+
+    # --- stage 2: banding + multi-probe ---------------------------------
+    bands: int = 8              # b
+    rows_per_band: int = 16     # r ; b*r must equal minhash_k
+    probes: int = 8             # T = buckets probed per band INCLUDING home
+                                # (T=1 → plain banding, no perturbations)
+
+    # --- simhash tier ----------------------------------------------------
+    simhash_bits: int = 64
+    hamming_radius: int = 3
+    pigeonhole_blocks: int = 4  # 64/4 = 16-bit blocks; hamming<=3 => >=1 block equal
+
+    # --- substring tier (winnowing fingerprints; guarantee t = w + k - 1) -
+    gram_k: int = 16            # char gram size for fingerprinting
+    winnow_window: int = 35     # w ; t = 16 + 35 - 1 = 50 = min_substr
+    min_substr: int = 50        # guaranteed-detection threshold (chars)
+
+    # --- stage 4: verification ------------------------------------------
+    jaccard_tau: float = 0.8    # signature-Jaccard ⇒ duplicate edge
+
+    # --- skew / scale knobs ----------------------------------------------
+    max_bucket: int = 64        # buckets larger than this are dropped+logged (A1)
+    salt_buckets: int = 16      # two-stage salted aggregation fan (A2)
+
+    # --- stage 5: connected components -----------------------------------
+    cc_max_iters: int = 50
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.minhash_k:
+            raise ValueError("bands * rows_per_band must equal minhash_k")
+        if self.winnow_window + self.gram_k - 1 != self.min_substr:
+            raise ValueError("winnowing guarantee t = w + k - 1 must equal min_substr")
+        if self.simhash_bits % self.pigeonhole_blocks != 0:
+            raise ValueError("pigeonhole_blocks must divide simhash_bits")
+
+    def config_hash(self) -> str:
+        """Stable hash of every parameter — keyed into checkpoint manifests
+        so a resumed run never mixes outputs from different configs."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+#: Headline config (SURVEY.md §7.0): multi-probe — 8 bands × 16 rows, T=8.
+DEFAULT = DedupConfig()
+
+#: Plain-banding control (M1/M3 comparison): 16 bands × 8 rows, no probes.
+BANDING16 = DedupConfig(bands=16, rows_per_band=8, probes=1)

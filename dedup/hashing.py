@@ -1,0 +1,346 @@
+"""Pure-NumPy hash kernels shared by the oracle AND the Spark pandas UDFs.
+
+This module is the parity anchor (SURVEY.md §0.2): both `dedup/oracle.py`
+(single-process reference) and `dedup/udfs.py` (distributed pipeline) call
+these exact functions, so MinHash signatures, band keys, probe sequences,
+SimHash values and winnowing fingerprints agree bit-for-bit by construction.
+
+Math sources (public):
+  - FNV-1a 64-bit: public-domain Fowler–Noll–Vo spec.
+  - MinHash family h_i(x) = (a_i*x + b_i) mod (2^61 - 1): classic universal
+    hashing over the Mersenne prime, per Broder's min-wise permutations.
+  - Multi-probe sequence: Lv et al., "Multi-Probe LSH", VLDB 2007, §4.1
+    (expand/shift heap over sorted perturbation scores). The reference repo
+    (/root/reference/README.md:1) names exactly this algorithm.
+  - SimHash: Charikar, STOC 2002.
+  - Winnowing: Schleimer, Wilkerson, Aiken, SIGMOD 2003 (guarantee: any
+    shared substring of length >= w + k - 1 shares a selected fingerprint).
+
+Everything here is vectorized NumPy on uint64; Python-int scalars are kept
+out of uint64 arithmetic (NumPy 1.26 silently promotes mixed ops to float64).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import re
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants (as np.uint64 to keep arithmetic in uint64)
+# ---------------------------------------------------------------------------
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+MERSENNE61 = np.uint64((1 << 61) - 1)
+_U1 = np.uint64(1)
+_U31 = np.uint64(31)
+_U30 = np.uint64(30)
+_U61 = np.uint64(61)
+_MASK31 = np.uint64(0x7FFFFFFF)
+_MASK30 = np.uint64(0x3FFFFFFF)
+
+_WS_RE = re.compile(r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# normalization (applied to a COPY of text; never mutates the source column)
+# ---------------------------------------------------------------------------
+def normalize(text: str) -> bytes:
+    """Unicode lowercase + collapse runs of whitespace to single spaces +
+    strip, then UTF-8 encode. SURVEY.md §7.0 F1."""
+    return _WS_RE.sub(" ", text.lower()).strip().encode("utf-8")
+
+
+def sha256_hex(text: str) -> str:
+    """sha256 of the RAW text bytes (byte-identity invariant, F9)."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# FNV-1a 64
+# ---------------------------------------------------------------------------
+def fnv1a64(data: bytes) -> int:
+    """Scalar FNV-1a 64 (tests / tiny inputs)."""
+    h = 0xCBF29CE484222325
+    for byte in data:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fnv1a64_windows(buf: np.ndarray, k: int) -> np.ndarray:
+    """FNV-1a 64 of every k-byte sliding window of `buf` (uint8 array).
+
+    Returns uint64 array of length len(buf) - k + 1 (empty if shorter).
+    Vectorized over windows; loops only k times.
+    """
+    buf = np.asarray(buf, dtype=np.uint8)
+    n = buf.shape[0] - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    for j in range(k):
+        h = (h ^ buf[j : j + n].astype(np.uint64)) * FNV_PRIME
+    return h
+
+
+def fnv1a64_tokens(tokens: list[bytes]) -> np.ndarray:
+    """FNV-1a 64 of each byte-string token (for SimHash features)."""
+    return np.array([fnv1a64(t) for t in tokens], dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Mersenne-61 modular arithmetic (vectorized, overflow-safe)
+# ---------------------------------------------------------------------------
+def mod61(y: np.ndarray) -> np.ndarray:
+    """y mod (2^61 - 1) for uint64 y (any value < 2^64)."""
+    y = np.asarray(y, dtype=np.uint64)
+    y = (y >> _U61) + (y & MERSENNE61)  # < 2^61 + 7
+    return np.where(y >= MERSENNE61, y - MERSENNE61, y)
+
+
+def mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * b) mod (2^61 - 1) with a, b uint64 arrays of values < 2^61 - 1.
+
+    Schoolbook split into 31-bit halves so every partial product fits in
+    uint64; 2^62 ≡ 2 and 2^61 ≡ 1 (mod M61).
+    """
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a1, a0 = a >> _U31, a & _MASK31  # a1 < 2^30, a0 < 2^31
+    b1, b0 = b >> _U31, b & _MASK31
+    # term1: a1*b1 * 2^62 ≡ a1*b1 * 2 ; a1*b1 < 2^60 so <<1 fits
+    t1 = mod61((a1 * b1) << _U1)
+    # term2: (a1*b0 + a0*b1) * 2^31 ; mid < 2^62 fits
+    mid = mod61(a1 * b0 + a0 * b1)  # < 2^61
+    m1, m0 = mid >> _U30, mid & _MASK30  # m1 < 2^31, m0 < 2^30
+    t2 = mod61(m1 + (m0 << _U31))  # mid*2^31 = m1*2^61 + m0*2^31 ≡ m1 + m0*2^31
+    # term3: a0*b0 < 2^62 fits
+    t3 = mod61(a0 * b0)
+    return mod61(t1 + t2 + t3)  # sum < 3*2^61 < 2^64, one fold suffices
+
+
+def minhash_params(seed: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (A, B) coefficients for K universal hashes."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(MERSENNE61), size=k, dtype=np.uint64)
+    b = rng.integers(0, int(MERSENNE61), size=k, dtype=np.uint64)
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash (F2/F3/F4) with runner-up for multi-probe (§7.0)
+# ---------------------------------------------------------------------------
+def char_shingles(norm: bytes, k: int) -> np.ndarray:
+    """Distinct FNV-1a 64 hashes of the k-char (byte) shingles of a
+    normalized document. Sorted unique (set semantics)."""
+    buf = np.frombuffer(norm, dtype=np.uint8)
+    return np.unique(fnv1a64_windows(buf, k))
+
+
+def minhash_with_runnerup(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """MinHash signature + runner-up (second-minimum) per permutation.
+
+    shingles: uint64 array (n,) of distinct shingle hashes, n >= 1.
+    a, b:     uint64 arrays (K,).
+    Returns (minh, runner), each uint64 (K,). With a single shingle the
+    runner-up equals the minimum (gap 0 ⇒ the row is never perturbed).
+    """
+    x = mod61(shingles)  # (n,)
+    # H[i, j] = (a_j * x_i + b_j) mod M61
+    h = mod61(mulmod61(a[None, :], x[:, None]) + b[None, :])
+    if h.shape[0] == 1:
+        minh = h[0]
+        return minh, minh.copy()
+    two = np.partition(h, 1, axis=0)[:2]
+    return two[0], two[1]
+
+
+# ---------------------------------------------------------------------------
+# band keys (F5): FNV-1a over band index + r signature slots (LE bytes)
+# ---------------------------------------------------------------------------
+def _fnv_absorb_u64(h: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Absorb each uint64 of `vals` (same shape as h) into FNV state h,
+    little-endian byte order."""
+    v = vals.astype(np.uint64, copy=True)
+    mask = np.uint64(0xFF)
+    eight = np.uint64(8)
+    for _ in range(8):
+        h = (h ^ (v & mask)) * FNV_PRIME
+        v = v >> eight
+    return h
+
+
+def band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Bucket key per band for ONE signature (K,) → uint64 (bands,)."""
+    return band_keys_batch(sig[None, :], bands, rows)[0]
+
+
+def band_keys_batch(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Bucket keys for a batch: sigs uint64 (N, K) → uint64 (N, bands)."""
+    sigs = np.asarray(sigs, dtype=np.uint64)
+    n = sigs.shape[0]
+    out = np.empty((n, bands), dtype=np.uint64)
+    for band in range(bands):
+        h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+        h = _fnv_absorb_u64(h, np.full(n, np.uint64(band)))
+        for r in range(rows):
+            h = _fnv_absorb_u64(h, sigs[:, band * rows + r])
+        out[:, band] = h
+    return out
+
+
+# ---------------------------------------------------------------------------
+# multi-probe perturbation sequence ([MPLSH §4.1] expand/shift heap)
+# ---------------------------------------------------------------------------
+def probe_sets(gaps: np.ndarray, t_probes: int) -> list[tuple[int, ...]]:
+    """First (t_probes - 1) perturbation sets in ascending-score order.
+
+    gaps: float/uint array (r,) — per-row perturbation cost
+          (runnerup - min for that permutation). Rows with gap == 0 are
+          excluded (perturbing them reproduces the home key).
+    Returns a list of tuples of ORIGINAL row indices (within the band),
+    in exact probe order. Deterministic: ties broken by the sorted-index
+    tuple itself.
+
+    Algorithm per [MPLSH §4.1]: sort costs ascending (z_1..z_m); start the
+    heap with {1}; pop the min-score set S, emit it, push shift(S) (replace
+    max element j with j+1) and expand(S) (add j+1).
+    """
+    gaps = np.asarray(gaps)
+    valid = np.nonzero(gaps > 0)[0]
+    if t_probes <= 1 or valid.size == 0:
+        return []
+    order = valid[np.lexsort((valid, gaps[valid]))]  # ascending (gap, index)
+    z = gaps[order].astype(np.float64)
+    m = order.size
+
+    out: list[tuple[int, ...]] = []
+    # heap entries: (score, sorted-positions tuple)
+    heap: list[tuple[float, tuple[int, ...]]] = [(float(z[0]), (0,))]
+    seen = {(0,)}
+    while heap and len(out) < t_probes - 1:
+        score, s = heapq.heappop(heap)
+        out.append(tuple(sorted(int(order[p]) for p in s)))
+        j = s[-1]
+        if j + 1 < m:
+            shift = s[:-1] + (j + 1,)
+            if shift not in seen:
+                seen.add(shift)
+                heapq.heappush(heap, (score - float(z[j]) + float(z[j + 1]), shift))
+            expand = s + (j + 1,)
+            if expand not in seen:
+                seen.add(expand)
+                heapq.heappush(heap, (score + float(z[j + 1]), expand))
+    return out
+
+
+def probe_keys_for_doc(
+    minh: np.ndarray,
+    runner: np.ndarray,
+    bands: int,
+    rows: int,
+    t_probes: int,
+) -> list[tuple[int, int, np.uint64]]:
+    """All perturbed bucket keys for one signature.
+
+    Returns [(band, probe_rank, key), ...] with probe_rank starting at 1
+    (rank 0 is the home bucket, produced by band_keys). Perturbed keys that
+    collide with the home key are still emitted (dedup happens downstream);
+    they cannot occur when gap>0 rows are perturbed except by FNV collision.
+    """
+    out: list[tuple[int, int, np.uint64]] = []
+    if t_probes <= 1:
+        return out
+    gaps = runner - minh  # uint64, >= 0 by construction
+    for band in range(bands):
+        lo = band * rows
+        sets = probe_sets(gaps[lo : lo + rows], t_probes)
+        if not sets:
+            continue
+        # build all perturbed slices for this band, hash them in one batch
+        # (must produce exactly what band_keys computes on the same slice)
+        slices = np.tile(minh[lo : lo + rows], (len(sets), 1))
+        for idx, rows_to_flip in enumerate(sets):
+            for rr in rows_to_flip:
+                slices[idx, rr] = runner[lo + rr]
+        h = np.full(len(sets), FNV_OFFSET, dtype=np.uint64)
+        h = _fnv_absorb_u64(h, np.full(len(sets), np.uint64(band)))
+        for rr in range(rows):
+            h = _fnv_absorb_u64(h, slices[:, rr])
+        out.extend((band, rank, h[rank - 1]) for rank in range(1, len(sets) + 1))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash (F6) — 64-bit, token-unigram features with multiplicity
+# ---------------------------------------------------------------------------
+def simhash64(token_hashes: np.ndarray) -> int:
+    """Charikar SimHash: sum ±1 per bit over token-feature hashes; bit set
+    iff the sum is strictly positive. Returns a Python int in [0, 2^64)."""
+    if token_hashes.size == 0:
+        return 0
+    bits = (token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U1
+    score = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+    sim = np.uint64(0)
+    for i in range(64):
+        if score[i] > 0:
+            sim |= _U1 << np.uint64(i)
+    return int(sim)
+
+
+def simhash_blocks(sim: int, n_blocks: int, bits: int = 64) -> list[int]:
+    """Pigeonhole split of a simhash into n_blocks equal bit-blocks (P5):
+    hamming(a,b) <= n_blocks - 1 ⇒ at least one block identical."""
+    w = bits // n_blocks
+    mask = (1 << w) - 1
+    return [(sim >> (i * w)) & mask for i in range(n_blocks)]
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (substring tier, O2 redesigned — see SURVEY §7.0)
+# ---------------------------------------------------------------------------
+def has_common_substring(a: bytes, b: bytes, min_len: int) -> bool:
+    """True iff the two byte strings share a contiguous substring of at
+    least `min_len` bytes. O(|a|+|b|) expected: hash every min_len-gram of
+    both sides, intersect, then confirm raw bytes (FNV collisions are
+    verified away). Used to verify winnowing candidates (stage 4)."""
+    if len(a) < min_len or len(b) < min_len:
+        return False
+    ha = fnv1a64_windows(np.frombuffer(a, dtype=np.uint8), min_len)
+    hb = fnv1a64_windows(np.frombuffer(b, dtype=np.uint8), min_len)
+    common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+    for pa, pb in zip(ia.tolist(), ib.tolist()):
+        if a[pa : pa + min_len] == b[pb : pb + min_len]:
+            return True
+    if common.size == 0:
+        return False
+    # all first-occurrence pairs were collisions (astronomically rare):
+    # exhaustive confirm on the colliding hash values
+    bset = {bytes(b[i : i + min_len]) for i in np.nonzero(np.isin(hb, common))[0]}
+    return any(bytes(a[i : i + min_len]) in bset for i in np.nonzero(np.isin(ha, common))[0])
+
+
+def winnow_fingerprints(norm: bytes, gram_k: int, window: int) -> np.ndarray:
+    """Distinct winnowing-selected gram hashes of a normalized document.
+
+    Guarantee (Schleimer et al. 2003): two documents sharing a normalized
+    substring of length >= window + gram_k - 1 share at least one selected
+    fingerprint. Tie-break: rightmost minimal hash in each window (robust
+    winnowing), which is position-aligned inside identical regions.
+    """
+    buf = np.frombuffer(norm, dtype=np.uint8)
+    grams = fnv1a64_windows(buf, gram_k)
+    if grams.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if grams.size <= window:
+        # shorter than one window: select the global (rightmost) min
+        rev_idx = grams.size - 1 - int(np.argmin(grams[::-1]))
+        return grams[rev_idx : rev_idx + 1].copy()
+    win = np.lib.stride_tricks.sliding_window_view(grams, window)
+    j = window - 1 - np.argmin(win[:, ::-1], axis=1)  # rightmost min per window
+    pos = np.unique(np.arange(win.shape[0]) + j)
+    return np.unique(grams[pos])
