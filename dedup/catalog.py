@@ -1,0 +1,124 @@
+"""Table IO + checkpoint manifests (SURVEY.md §2.1 S1/S3, §7.2 item 5).
+
+Production mode is an Iceberg catalog (`pages` partitioned by
+days(warc_ts); stage tables partitioned by their shuffle key) — but no
+Iceberg runtime jar exists in this sandbox (verified), so the default
+backend is parquet directories + an atomic `_MANIFEST.json` commit marker.
+The manifest carries (stage, run_id, config_hash, rows, wall_ms, written_at)
+so a resumed run can (a) detect a completed stage and skip it, and
+(b) refuse to mix outputs produced under a different config
+(SURVEY.md §2.6 O4; BASELINE.json:6 "resumes mid-pipeline").
+
+Semantics the two backends share: a table is visible iff its commit marker
+exists; a partial write (crash mid-stage) leaves no marker and is
+overwritten on resume. That is exactly Iceberg's snapshot-commit behavior
+restated for a filesystem, which is what makes the kill/resume test
+(tests/test_resume.py) meaningful.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_MANIFEST.json"
+
+
+@dataclass
+class Warehouse:
+    """A directory of stage tables for one dedup run."""
+
+    root: str
+    config_hash: str
+    run_id: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    # -- commit protocol ----------------------------------------------------
+    def is_complete(self, table: str) -> bool:
+        m = self._read_manifest(table)
+        return m is not None and m.get("config_hash") == self.config_hash
+
+    def _read_manifest(self, table: str) -> Optional[dict]:
+        p = os.path.join(self.path(table), MANIFEST)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Optional[list[str]] = None,
+        mode: str = "overwrite",
+    ) -> dict:
+        """Write a stage table then atomically commit its manifest.
+
+        The parquet write itself is not atomic across files, but the
+        manifest rename is; readers (`read`, `is_complete`) only trust
+        committed tables, which restores all-or-nothing stage semantics.
+        """
+        out = self.path(table)
+        t0 = time.monotonic()
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        rows = _count_parquet_rows(out)
+        manifest = {
+            "table": table,
+            "run_id": self.run_id,
+            "config_hash": self.config_hash,
+            "rows": rows,
+            "wall_ms": wall_ms,
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = os.path.join(out, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(out, MANIFEST))
+        return manifest
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        if not self.is_complete(table):
+            raise FileNotFoundError(
+                f"table {table!r} has no committed manifest for config "
+                f"{self.config_hash} under {self.root}"
+            )
+        return spark.read.parquet(self.path(table))
+
+    def append_metrics(self, spark: SparkSession, rows: list[dict]) -> None:
+        """Append per-stage / per-partition metrics rows (S4). Plain JSONL —
+        metrics are driver-side tiny; the *data* path never touches this."""
+        os.makedirs(self.root, exist_ok=True)
+        p = os.path.join(self.root, "stage_metrics.jsonl")
+        with open(p, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def read_metrics(self) -> list[dict]:
+        p = os.path.join(self.root, "stage_metrics.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+def _count_parquet_rows(path: str) -> int:
+    """Row count from parquet footers (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
+    return total

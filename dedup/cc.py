@@ -1,0 +1,118 @@
+"""Stage 5 — connected components via alternating large-star / small-star
+(Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"),
+expressed entirely in DataFrame ops (SURVEY.md §2.3 J4, §2.4 A3/A4).
+
+Node labels are url strings; string ordering makes the converged root of
+each component its minimum url, matching the union-find oracle's
+cluster_id = min(url) convention exactly (dedup/oracle.py UnionFind.union).
+
+Scale mechanics (BASELINE.json:6 names each of these explicitly):
+- the per-node min-neighbor aggregation is SALTED two-stage (A2): stage A
+  groups by (node, crc32(neighbor) % S) and takes a partial min, stage B
+  merges the S partials — a celebrity node (the root of a giant near-dup
+  cluster) fans its reduce work across S reducers instead of one.
+- every iteration materializes via localCheckpoint(eager=True): the
+  iterative plan would otherwise grow by ~4 joins per round and Catalyst
+  re-analysis would dominate (§7.2 item 3). Convergence is O(log n) rounds.
+- convergence test is a one-pass (count, bit_xor(xxhash64)) fingerprint of
+  the canonical edge set — no exceptAll anti-join over the full edge list,
+  and XOR-fold cannot overflow under ANSI mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .config import DedupConfig
+
+
+def _salted_min(
+    df: DataFrame, key: str, val: str, salt_buckets: int
+) -> DataFrame:
+    """groupBy(key).min(val) as an explicit two-stage salted aggregation.
+    Returns (key, mn)."""
+    partial = df.groupBy(
+        key, (F.crc32(F.col(val)) % salt_buckets).alias("_salt")
+    ).agg(F.min(val).alias("_pmin"))
+    return partial.groupBy(key).agg(F.min("_pmin").alias("mn"))
+
+
+def _large_star(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = _salted_min(sym, "u", "v", cfg.salt_buckets)
+    out = (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.least("u", "mn").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Direct each edge large->small; connect each small neighbor (and u
+    itself) to the minimum small neighbor."""
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = _salted_min(d, "u", "v", cfg.salt_buckets)
+    out1 = (
+        d.join(mins, "u")
+        .where(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    out2 = mins.select("u", F.col("mn").alias("v"))
+    return out1.union(out2).where(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive (count, xor-fold hash) fingerprint of the canonical
+    edge set — one pass, map-side combinable (edges are distinct, so XOR
+    cancellation of duplicates cannot occur)."""
+    canon = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    row = canon.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return int(row["n"] or 0), int(row["h"] or 0)
+
+
+def connected_components(
+    dup_pairs: DataFrame, all_nodes: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """dup_pairs(url_a, url_b) + all_nodes(url) -> clusters(url, cluster_id).
+
+    Every input url appears in the output; singletons map to themselves
+    (oracle parity: oracle.py seeds union-find with every page url).
+    """
+    edges = (
+        dup_pairs.select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = _fingerprint(edges)
+    for _ in range(cfg.cc_max_iters):
+        if prev_fp[0] == 0:
+            break
+        e1 = _large_star(edges, cfg)
+        e2 = _small_star(e1, cfg).localCheckpoint(eager=True)
+        fp = _fingerprint(e2)
+        edges = e2
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # At the fixpoint the edge set is a star per component: (node, root).
+    # The groupBy-min is a no-op then, but guards the max-iters cutoff.
+    labels = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return (
+        all_nodes.select("url")
+        .join(labels.select(F.col("u").alias("url"), "cluster_id"), "url", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("url")))
+    )

@@ -1,0 +1,187 @@
+"""End-to-end dedup pipeline orchestration with checkpoint/resume and
+per-partition metrics (SURVEY.md §3.2; BASELINE.json:6).
+
+Every stage writes its output table + commit manifest through
+catalog.Warehouse, then the next stage reads the committed table back —
+the write/read boundary is simultaneously the resume point, the lineage
+cut, and where per-partition metrics are harvested (one parquet file per
+write task = one partition's lineage record).
+
+Resume semantics: `run(..., resume=True)` skips any stage whose table has
+a committed manifest for the SAME config_hash; a crash mid-stage leaves no
+manifest, so the stage reruns from its (committed) inputs. tests/test_resume
+proves a killed-after-stage-k run resumes to byte-identical final tables.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import stages
+from .catalog import Warehouse
+from .cc import connected_components
+from .config import DedupConfig
+
+STAGE_ORDER = [
+    "pages",
+    "signatures",
+    "buckets",
+    "candidate_pairs",
+    "dropped_buckets",
+    "verified_pairs",
+    "clusters",
+    "canonical_pages",
+]
+
+#: shuffle-key-aligned layout per table: repartitioning on the next stage's
+#: group/join key at write time means the read side starts co-located.
+_WRITE_PARTITIONING: dict[str, list[str]] = {}
+
+
+@dataclass
+class RunResult:
+    warehouse: Warehouse
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+
+    def df(self, spark: SparkSession, table: str) -> DataFrame:
+        return self.warehouse.read(spark, table)
+
+
+def _partition_metrics(path: str) -> list[dict]:
+    """Per-file (= per write-task partition) rows/bytes from parquet
+    footers — the per-partition lineage record (S4/U5)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    files = sorted(
+        os.path.join(dp, fn)
+        for dp, _d, fns in os.walk(path)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        md = pq.ParquetFile(f).metadata
+        out.append(
+            {
+                "partition_id": i,
+                "file": os.path.relpath(f, path),
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(f),
+            }
+        )
+    return out
+
+
+def run(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig,
+    warehouse_root: str,
+    run_id: str | None = None,
+    resume: bool = True,
+    stop_after: str | None = None,
+) -> RunResult:
+    """Run (or resume) the full dedup pipeline.
+
+    pages: DataFrame with the mandated shape (url, warc_ts, html, text,
+    lang). stop_after: stage name to halt after (kill/resume tests).
+    """
+    wh = Warehouse(
+        root=warehouse_root,
+        config_hash=cfg.config_hash(),
+        run_id=run_id or uuid.uuid4().hex[:12],
+    )
+    res = RunResult(warehouse=wh)
+
+    def do_stage(name: str, build, partition_by=None) -> bool:
+        """Returns True if the caller should stop (stop_after hit)."""
+        if resume and wh.is_complete(name):
+            res.stages_skipped.append(name)
+            return stop_after == name
+        t0 = time.monotonic()
+        df = build()
+        manifest = wh.write(df, name, partition_by=partition_by)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        parts = _partition_metrics(wh.path(name))
+        wh.append_metrics(
+            spark,
+            [
+                {
+                    "run_id": wh.run_id,
+                    "stage": name,
+                    "wall_ms": wall_ms,
+                    "rows": manifest["rows"],
+                    "config_hash": wh.config_hash,
+                    "ts": manifest["written_at"],
+                    **p,
+                }
+                for p in parts
+            ],
+        )
+        res.stages_run.append(name)
+        return stop_after == name
+
+    # stage 0: snapshot the input (the Iceberg table stand-in; byte-identity
+    # of `text` is checked against THIS table by the invariant tests)
+    if do_stage("pages", lambda: pages):
+        return res
+
+    pages_t = wh.read(spark, "pages")
+    if do_stage("signatures", lambda: stages.stage1_signatures(pages_t, cfg)):
+        return res
+
+    sigs = wh.read(spark, "signatures")
+    if do_stage("buckets", lambda: stages.stage2_buckets(sigs, cfg)):
+        return res
+
+    buckets = wh.read(spark, "buckets")
+    cand_out: list[stages.CandidateOut] = []
+
+    def build_cands() -> DataFrame:
+        out = stages.stage3_candidates(sigs, buckets, cfg)
+        cand_out.append(out)
+        return out.candidates
+
+    if do_stage("candidate_pairs", build_cands):
+        return res
+    if do_stage(
+        "dropped_buckets",
+        lambda: (
+            cand_out[0].dropped_buckets
+            if cand_out
+            else stages.stage3_candidates(sigs, buckets, cfg).dropped_buckets
+        ),
+    ):
+        return res
+
+    cands = wh.read(spark, "candidate_pairs")
+    if do_stage(
+        "verified_pairs",
+        lambda: stages.stage4_verify(cands, sigs, pages_t, cfg),
+    ):
+        return res
+
+    verified = wh.read(spark, "verified_pairs")
+    if do_stage(
+        "clusters",
+        lambda: connected_components(
+            verified.filter("is_dup").select("url_a", "url_b"),
+            pages_t.select("url"),
+            cfg,
+        ),
+    ):
+        return res
+
+    clusters = wh.read(spark, "clusters")
+    if do_stage(
+        "canonical_pages",
+        lambda: stages.stage6_canonical(clusters, pages_t),
+    ):
+        return res
+    return res

@@ -1,0 +1,58 @@
+"""SparkSession builder with the scale-conscious defaults the pipeline
+assumes (SURVEY.md §4): AQE on (skew-join split + partition coalescing),
+Arrow everywhere (the UDF surface is 100% pandas/Arrow, BASELINE.json:15),
+bounded Arrow batches, and shuffle partitions sized to the local core count
+(on a real cluster: ~2-3x total executor cores; set via --conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "dedup",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    master defaults to local[$SPARK_GRAFT_CPUS] (env, default all cores).
+    On a real cluster, pass master=None and let spark-submit supply it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    n_threads = os.cpu_count() or 8
+    if master.startswith("local["):
+        inner = master[6:-1]
+        if inner != "*":
+            n_threads = int(inner)
+    if shuffle_partitions is None:
+        # 2x parallelism: enough granularity for AQE to coalesce, not so many
+        # that tiny-partition overhead dominates at sandbox scale
+        shuffle_partitions = max(8, 2 * n_threads)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(n_threads))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # pages.html is binary and texts are long: keep task result sizes sane
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if master:
+        b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,244 @@
+"""Vectorized pandas/Arrow UDFs (SURVEY.md §2.8 U1-U4).
+
+Every function here wraps the SAME NumPy kernels the oracle uses
+(dedup/hashing.py, dedup/features.py), so stage outputs agree with
+`dedup/oracle.py` bit-for-bit by construction (SURVEY.md §0.2). All UDFs
+are iterator-of-batches `mapInPandas` — data crosses the JVM/Python
+boundary as Arrow record batches only; there is no per-row Python UDF
+anywhere (BASELINE.json:15 hard constraint).
+
+uint64 note: Spark's LongType is two's-complement int64. All 64-bit hash
+values are computed in uint64 and reinterpreted with .view(np.int64)
+(features.u64_to_i64) at the boundary — bit pattern preserved, comparisons
+for equality still exact, and DuckDB/parquet round-trips are lossless.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import types as T
+
+from . import hashing as H
+from .config import DedupConfig
+from .features import doc_features, minhash_params, u64_to_i64, i64_to_u64
+
+# ---------------------------------------------------------------------------
+# fixed schemas (§1.2: every stage declares its StructType, never inferred)
+# ---------------------------------------------------------------------------
+SIGNATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("minhash", T.ArrayType(T.LongType(), False), False),
+        T.StructField("runnerup", T.ArrayType(T.LongType(), False), False),
+        T.StructField("simhash", T.LongType(), False),
+        T.StructField("n_shingles", T.IntegerType(), False),
+        T.StructField("n_tokens", T.IntegerType(), False),
+        T.StructField("text_sha", T.StringType(), False),
+        T.StructField("fingerprints", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
+BUCKETS_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bucket_key", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("is_probe", T.BooleanType(), False),
+        T.StructField("probe_rank", T.IntegerType(), False),
+    ]
+)
+
+PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+    ]
+)
+
+SUBSTR_SCHEMA = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+        T.StructField("substr_ok", T.BooleanType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# U1 — signatures: (url, text) -> full signature bundle
+# ---------------------------------------------------------------------------
+def make_signatures_fn(cfg: DedupConfig):
+    """mapInPandas fn for stage 1. The (a, b) MinHash coefficients are
+    derived from cfg.seed inside each worker (cheap, deterministic) rather
+    than broadcast — no closure-captured arrays to serialize."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = minhash_params(cfg)
+        for pdf in batches:
+            urls, minhs, runs, sims, nsh, ntok, shas, fps = [], [], [], [], [], [], [], []
+            for url, text in zip(pdf["url"].to_numpy(), pdf["text"].to_numpy()):
+                f = doc_features(text, cfg, a, b)
+                if f is None:
+                    continue  # P2 filter: null/too-short text never signs
+                urls.append(url)
+                minhs.append(u64_to_i64(f.minhash))
+                runs.append(u64_to_i64(f.runnerup))
+                sims.append(np.int64(np.uint64(f.simhash)))
+                nsh.append(f.n_shingles)
+                ntok.append(f.n_tokens)
+                shas.append(f.text_sha)
+                fps.append(u64_to_i64(f.fingerprints))
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype=object),
+                    "minhash": pd.Series(minhs, dtype=object),
+                    "runnerup": pd.Series(runs, dtype=object),
+                    "simhash": pd.Series(sims, dtype=np.int64),
+                    "n_shingles": pd.Series(nsh, dtype=np.int32),
+                    "n_tokens": pd.Series(ntok, dtype=np.int32),
+                    "text_sha": pd.Series(shas, dtype=object),
+                    "fingerprints": pd.Series(fps, dtype=object),
+                }
+            )
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# U2 — buckets: (url, minhash, runnerup) -> home + probe bucket rows
+# ---------------------------------------------------------------------------
+def make_buckets_fn(cfg: DedupConfig):
+    """mapInPandas fn for stage 2: banding + multi-probe expansion.
+
+    Home keys for the whole Arrow batch are hashed in one vectorized call
+    (band_keys_batch); the [MPLSH §4.1] probe sequence is generated per doc
+    (tiny heap over r gaps) exactly as the oracle does.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield _empty_buckets()
+                continue
+            minh = i64_to_u64(np.array(pdf["minhash"].tolist(), dtype=np.int64))
+            run = i64_to_u64(np.array(pdf["runnerup"].tolist(), dtype=np.int64))
+            urls = pdf["url"].to_numpy()
+            home = H.band_keys_batch(minh, cfg.bands, cfg.rows_per_band).view(np.int64)
+
+            bands_out = [np.tile(np.arange(cfg.bands, dtype=np.int32), n)]
+            keys_out = [home.ravel()]
+            urls_out = [np.repeat(urls, cfg.bands)]
+            probe_out = [np.zeros(n * cfg.bands, dtype=bool)]
+            rank_out = [np.zeros(n * cfg.bands, dtype=np.int32)]
+            if cfg.probes > 1:
+                pb, pk, pu, pr = [], [], [], []
+                for i in range(n):
+                    for band, rank, key in H.probe_keys_for_doc(
+                        minh[i], run[i], cfg.bands, cfg.rows_per_band, cfg.probes
+                    ):
+                        pb.append(band)
+                        pk.append(np.uint64(key))
+                        pu.append(urls[i])
+                        pr.append(rank)
+                if pb:
+                    bands_out.append(np.array(pb, dtype=np.int32))
+                    keys_out.append(np.array(pk, dtype=np.uint64).view(np.int64))
+                    urls_out.append(np.array(pu, dtype=object))
+                    probe_out.append(np.ones(len(pb), dtype=bool))
+                    rank_out.append(np.array(pr, dtype=np.int32))
+            yield pd.DataFrame(
+                {
+                    "band": np.concatenate(bands_out),
+                    "bucket_key": np.concatenate(keys_out),
+                    "url": np.concatenate(urls_out),
+                    "is_probe": np.concatenate(probe_out),
+                    "probe_rank": np.concatenate(rank_out),
+                }
+            )
+
+    return fn
+
+
+def _empty_buckets() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "band": pd.Series([], dtype=np.int32),
+            "bucket_key": pd.Series([], dtype=np.int64),
+            "url": pd.Series([], dtype=object),
+            "is_probe": pd.Series([], dtype=bool),
+            "probe_rank": pd.Series([], dtype=np.int32),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3 — pair explosion: bucket member lists -> canonical candidate pairs
+# ---------------------------------------------------------------------------
+def make_pairs_fn(exclude_probe_probe: bool):
+    """mapInPandas fn over pre-grouped rows
+    (members: array<struct<url string, is_probe boolean>>).
+
+    Oversized buckets were already dropped upstream (A1 cap via pre-count
+    semi-join, stages.py), so each member list here is <= max_bucket.
+    Pairs are canonical (url_a < url_b); probe-vs-probe pairs are excluded
+    for the LSH generator (J2 semantics: [MPLSH] perturbs the query only,
+    the index stores home buckets).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a: list[str] = []
+            out_b: list[str] = []
+            for members in pdf["members"]:
+                ms = sorted((m["url"], m["is_probe"]) for m in members)
+                k = len(ms)
+                for i in range(k):
+                    ua, pa = ms[i]
+                    for j in range(i + 1, k):
+                        ub, pb = ms[j]
+                        if ua == ub:
+                            continue
+                        if exclude_probe_probe and pa and pb:
+                            continue
+                        out_a.append(ua)
+                        out_b.append(ub)
+            yield pd.DataFrame(
+                {
+                    "url_a": pd.Series(out_a, dtype=object),
+                    "url_b": pd.Series(out_b, dtype=object),
+                }
+            )
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# U4 — substring verification for winnow-sourced pairs
+# ---------------------------------------------------------------------------
+def make_substr_fn(cfg: DedupConfig):
+    """mapInPandas fn: (url_a, url_b, text_a, text_b) -> substr_ok.
+    Runs only on winnow-sourced pairs the cheap rules left undecided
+    (stage 4), so the O(len_a + len_b) check touches few rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok = [
+                H.has_common_substring(
+                    H.normalize(ta), H.normalize(tb), cfg.min_substr
+                )
+                for ta, tb in zip(pdf["text_a"], pdf["text_b"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "url_a": pdf["url_a"],
+                    "url_b": pdf["url_b"],
+                    "substr_ok": pd.Series(ok, dtype=bool),
+                }
+            )
+
+    return fn
