@@ -1,38 +1,375 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship dedup query (full pipeline -> clusters)
+on sf0.001. `queries()` exposes one callable per implemented operator
+family from SURVEY.md §2; every SQL-expressible one has a DuckDB twin in
+`oracle_sql()` (column names aliased identically on both sides). The
+dedup-pipeline queries run over the deterministically synthesized `pages`
+corpus (dedup/synth.py, seed 42) — that synthesis is not SQL-expressible,
+so those entries are rows-only checks; their real correctness gate is the
+oracle-parity pytest suite (tests/test_parity.py).
+
+Float note: double aggregates are ROUNDed on both sides so the driver's
+value hash is insensitive to accumulation-order last-bit noise.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup of the synthesized pages corpus at sf0.001 ->
+    clusters(url, cluster_id). Driver checks rows > 0 + stable schema."""
+    from dedup.config import DEFAULT
+    from dedup.pipeline import run_in_memory
+    from dedup.synth import load_pages_spark
+
+    pages = load_pages_spark(spark, SF_SMOKE)
+    return run_in_memory(spark, pages, DEFAULT)["clusters"]
+
+
+# ---------------------------------------------------------------------------
+# SQL-twinned operator queries (SURVEY.md §2 tags in comments)
+# ---------------------------------------------------------------------------
+def _scan_filter_project(spark, sf_dir):  # S2 + P1/P2
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+        .select("doc_id", "n_chars")
+    )
+
+
+def _doc_sha(spark, sf_dir):  # F9
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
+def _prefix_near_dup_pairs(spark, sf_dir):  # J1 + P3 (SQL-visible dedup tier)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("pfx")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), "pfx")
+    b = d.select(F.col("doc_id").alias("id_b"), "pfx")
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def _salted_group_count(spark, sf_dir):  # A2 (explicit two-stage salted agg)
+    d = _t(spark, sf_dir, "documents")
+    partial = d.groupBy(
+        "lang", (F.crc32(F.col("doc_id").cast("string")) % 16).alias("_salt")
+    ).agg(F.count("*").alias("pn"))
+    return partial.groupBy("lang").agg(F.sum("pn").alias("n"))
+
+
+def _broadcast_star_join(spark, sf_dir):  # J6
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def _lineitem_pricing_summary(spark, sf_dir):  # A (TPC-H Q1 shape)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _window_first_event(spark, sf_dir):  # W1
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _window_topk_values(spark, sf_dir):  # W2 / O top-k
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+def _json_extract_agg(spark, sf_dir):  # F11
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count("*").alias("n"))
+    )
+
+
+def _date_trunc_counts(spark, sf_dir):  # F10
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("month", "ts")).alias("month"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _bit_count_xor(spark, sf_dir):  # F7 / P5 (Hamming primitive)
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.bit_count(F.col("event_id").bitwiseXOR(F.col("user_id")))
+        .cast("long")
+        .alias("ham"),
+    )
+
+
+def _token_count_quality(spark, sf_dir):  # text analysis: token counts
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+
+
+def _stopword_langid(spark, sf_dir):  # text analysis: stopword-ratio language cue
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("text").contains(" the "), 1.0).otherwise(0.0)),
+                4,
+            ).alias("the_ratio"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _union_distinct(spark, sf_dir):  # O3
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .unionAll(d.filter(F.col("n_chars") > 400).select("doc_id"))
+        .distinct()
+    )
+
+
+def _anti_join(spark, sf_dir):  # O4 (resume subtraction primitive)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey")
+
+
+def _knn_l2(spark, sf_dir):  # W2 + F12: brute-force exact kNN over embeddings
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "qe",
+                "embedding",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dist, 5).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup-pipeline queries (non-SQL-expressible -> rows-only driver check;
+# real gate = oracle-parity pytest)
+# ---------------------------------------------------------------------------
+def _dedup_stage(table: str):
+    def f(spark, sf_dir):
+        from dedup.config import DEFAULT
+        from dedup.pipeline import run_in_memory
+        from dedup.synth import load_pages_spark
+
+        pages = load_pages_spark(spark, sf_dir)
+        out = run_in_memory(spark, pages, DEFAULT)[table]
+        if table == "signatures":
+            out = out.select("url", "simhash", "n_shingles", "n_tokens", "text_sha")
+        elif table == "canonical_pages":
+            out = out.select("url", "cluster_id", "is_canonical")
+        return out
+
+    return f
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_filter_project": _scan_filter_project,
+        "doc_sha": _doc_sha,
+        "prefix_near_dup_pairs": _prefix_near_dup_pairs,
+        "salted_group_count": _salted_group_count,
+        "broadcast_star_join": _broadcast_star_join,
+        "lineitem_pricing_summary": _lineitem_pricing_summary,
+        "window_first_event": _window_first_event,
+        "window_topk_values": _window_topk_values,
+        "json_extract_agg": _json_extract_agg,
+        "date_trunc_counts": _date_trunc_counts,
+        "bit_count_xor": _bit_count_xor,
+        "token_count_quality": _token_count_quality,
+        "stopword_langid": _stopword_langid,
+        "union_distinct": _union_distinct,
+        "anti_join": _anti_join,
+        "knn_l2": _knn_l2,
+        # dedup engine stages (rows-only; parity-tested against the oracle)
+        "dedup_signatures": _dedup_stage("signatures"),
+        "dedup_buckets": _dedup_stage("buckets"),
+        "dedup_candidates": _dedup_stage("candidate_pairs"),
+        "dedup_verified": _dedup_stage("verified_pairs"),
+        "dedup_clusters": _dedup_stage("clusters"),
+        "dedup_canonical": _dedup_stage("canonical_pages"),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_filter_project": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= 200 AND lang = 'en'
+        """,
+        "doc_sha": """
+            SELECT doc_id, sha256(text) AS sha FROM documents
+        """,
+        "prefix_near_dup_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+             AND a.doc_id < b.doc_id
+        """,
+        "salted_group_count": """
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        """,
+        "broadcast_star_join": """
+            SELECT r.r_name AS region,
+                   COUNT(*) AS n_customers,
+                   ROUND(SUM(c.c_acctbal), 2) AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "window_first_event": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "window_topk_values": """
+            SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
+              SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "json_extract_agg": """
+            SELECT event_type,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+                       AS avg_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "date_trunc_counts": """
+            SELECT CAST(date_trunc('month', ts) AS DATE) AS month, COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "bit_count_xor": """
+            SELECT event_id, CAST(bit_count(xor(event_id, user_id)) AS BIGINT) AS ham
+            FROM events
+        """,
+        "token_count_quality": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   n_chars
+            FROM documents
+        """,
+        "stopword_langid": """
+            SELECT lang,
+                   ROUND(AVG(CASE WHEN text LIKE '% the %' THEN 1.0 ELSE 0.0 END), 4)
+                       AS the_ratio,
+                   COUNT(*) AS n
+            FROM documents GROUP BY lang
+        """,
+        "union_distinct": """
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_id FROM documents WHERE lang = 'en'
+              UNION ALL
+              SELECT doc_id FROM documents WHERE n_chars > 400)
+        """,
+        "anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "knn_l2": """
+            SELECT query_id, neighbor_id, dist FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     ROUND(list_distance(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])), 5) AS dist,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])),
+                                e.vec_id) AS rn
+              FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+              WHERE q.vec_id < 5) WHERE rn <= 5
+        """,
+    }

@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract + SURVEY.md §7.1 M7).
+
+Runs the headline dedup pipeline end-to-end (warehouse path, i.e. with
+real stage materialization) on the corpus synthesized from
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) at
+local[$SPARK_GRAFT_CPUS], plus a handful of contract queries, and prints
+ONE JSON line:
+
+    {"metric": "dedup_e2e_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1, "docs": D,
+     "docs_per_sec": R}
+
+Usage: python bench.py  [--replicate N] [--sf-dir DIR] [--cpus N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--replicate", type=int, default=1)
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dedup.config import DEFAULT
+    from dedup.pipeline import run
+    from dedup.session import build_session
+    from dedup.synth import load_pages_spark
+    import __spark_entry__ as contract
+
+    sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = build_session(app_name="dedup-bench", master=f"local[{args.cpus}]")
+    timings: dict[str, float] = {}
+    wh_root = tempfile.mkdtemp(prefix="dedup_bench_wh_")
+    try:
+        t0 = time.monotonic()
+        pages = load_pages_spark(spark, args.sf_dir, replicate=args.replicate)
+        n_docs = pages.count()
+        timings["synth_and_load"] = round(time.monotonic() - t0, 2)
+
+        t0 = time.monotonic()
+        run(spark, pages, DEFAULT, wh_root, resume=False)
+        e2e = time.monotonic() - t0
+        timings["dedup_e2e"] = round(e2e, 2)
+
+        # per-stage walls from the pipeline's own metrics
+        from dedup.catalog import Warehouse
+
+        wh = Warehouse(wh_root, DEFAULT.config_hash(), "bench")
+        seen = set()
+        for m in wh.read_metrics():
+            key = f"stage_{m['stage']}"
+            if key not in seen:
+                timings[key] = round(m["wall_ms"] / 1000.0, 2)
+                seen.add(key)
+
+        # a few representative contract queries at the same sf
+        qs = contract.queries()
+        for name in ["lineitem_pricing_summary", "broadcast_star_join",
+                     "window_topk_values", "knn_l2", "prefix_near_dup_pairs"]:
+            t0 = time.monotonic()
+            qs[name](spark, args.sf_dir).count()
+            timings[name] = round(time.monotonic() - t0, 2)
+
+        print(
+            json.dumps(
+                {
+                    "metric": "dedup_e2e_sec",
+                    "value": round(e2e, 2),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "docs": n_docs,
+                    "docs_per_sec": round(n_docs / e2e, 1),
+                    "cpus": int(args.cpus),
+                    "replicate": args.replicate,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+        shutil.rmtree(wh_root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,34 @@ def _partition_metrics(path: str) -> list[dict]:
     return out
 
 
+def run_in_memory(
+    spark: SparkSession, pages: DataFrame, cfg: DedupConfig
+) -> dict[str, DataFrame]:
+    """Compose the whole pipeline without warehouse materialization —
+    for the driver contract / small interactive runs. Signatures and
+    buckets are cached (each feeds two consumers); CC still localCheckpoints
+    per iteration internally."""
+    sigs = stages.stage1_signatures(pages, cfg).cache()
+    buckets = stages.stage2_buckets(sigs, cfg)
+    cand = stages.stage3_candidates(sigs, buckets, cfg)
+    candidates = cand.candidates.cache()
+    verified = stages.stage4_verify(candidates, sigs, pages, cfg).cache()
+    clusters = connected_components(
+        verified.filter("is_dup").select("url_a", "url_b"),
+        pages.select("url"),
+        cfg,
+    )
+    return {
+        "signatures": sigs,
+        "buckets": buckets,
+        "candidate_pairs": candidates,
+        "dropped_buckets": cand.dropped_buckets,
+        "verified_pairs": verified,
+        "clusters": clusters,
+        "canonical_pages": stages.stage6_canonical(clusters, pages),
+    }
+
+
 def run(
     spark: SparkSession,
     pages: DataFrame,
