@@ -7,10 +7,10 @@ each component its minimum url, matching the union-find oracle's
 cluster_id = min(url) convention exactly (dedup/oracle.py UnionFind.union).
 
 Scale mechanics (BASELINE.json:6 names each of these explicitly):
-- the per-node min-neighbor aggregation is SALTED two-stage (A2): stage A
-  groups by (node, crc32(neighbor) % S) and takes a partial min, stage B
-  merges the S partials — a celebrity node (the root of a giant near-dup
-  cluster) fans its reduce work across S reducers instead of one.
+- the per-node min-neighbor aggregation supports an explicit SALTED
+  two-stage mode (A2, cfg.cc_salted_agg) for extreme reducer skew; by
+  default Spark's map-side partial aggregation provides the two-stage
+  combine at one shuffle (see _min_by_key).
 - every iteration materializes via localCheckpoint(eager=True): the
   iterative plan would otherwise grow by ~4 joins per round and Catalyst
   re-analysis would dominate (§7.2 item 3). Convergence is O(log n) rounds.
@@ -26,13 +26,19 @@ from pyspark.sql import DataFrame, functions as F
 from .config import DedupConfig
 
 
-def _salted_min(
-    df: DataFrame, key: str, val: str, salt_buckets: int
-) -> DataFrame:
-    """groupBy(key).min(val) as an explicit two-stage salted aggregation.
-    Returns (key, mn)."""
+def _min_by_key(df: DataFrame, key: str, val: str, cfg: DedupConfig) -> DataFrame:
+    """groupBy(key).min(val) -> (key, mn).
+
+    With cfg.cc_salted_agg the aggregation runs as an explicit two-stage
+    salted pass (A2): stage A groups by (key, crc32(val) % S), stage B
+    merges the S partials — a celebrity node fans its reduce work across S
+    reducers. Default off: Spark's map-side partial aggregation already
+    provides the two-stage combine for min, at one shuffle instead of two.
+    """
+    if not cfg.cc_salted_agg:
+        return df.groupBy(key).agg(F.min(val).alias("mn"))
     partial = df.groupBy(
-        key, (F.crc32(F.col(val)) % salt_buckets).alias("_salt")
+        key, (F.crc32(F.col(val)) % cfg.salt_buckets).alias("_salt")
     ).agg(F.min(val).alias("_pmin"))
     return partial.groupBy(key).agg(F.min("_pmin").alias("mn"))
 
@@ -43,7 +49,7 @@ def _large_star(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
     sym = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = _salted_min(sym, "u", "v", cfg.salt_buckets)
+    mins = _min_by_key(sym, "u", "v", cfg)
     out = (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
@@ -58,7 +64,7 @@ def _small_star(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
     d = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).where(F.col("u") != F.col("v"))
-    mins = _salted_min(d, "u", "v", cfg.salt_buckets)
+    mins = _min_by_key(d, "u", "v", cfg)
     out1 = (
         d.join(mins, "u")
         .where(F.col("v") != F.col("mn"))

@@ -34,13 +34,24 @@ class DedupConfig:
                                 # (T=1 → plain banding, no perturbations)
 
     # --- simhash tier ----------------------------------------------------
+    # Manku/Jain/Sarma (WWW 2007) combination blocking: split 64 bits into
+    # `pigeonhole_blocks` blocks and index every `pigeonhole_combo`-subset
+    # of blocks as one key. hamming <= blocks - combo flipped bits leave
+    # >= combo blocks clean, so at least one combo key matches exactly.
+    # 3-of-6 gives ~32-bit keys (selective to ~10^9 docs) instead of the
+    # 16-bit keys of the naive 4-block scheme, which saturate the bucket
+    # cap and kill the tier at web scale.
     simhash_bits: int = 64
     hamming_radius: int = 3
-    pigeonhole_blocks: int = 4  # 64/4 = 16-bit blocks; hamming<=3 => >=1 block equal
+    pigeonhole_blocks: int = 6
+    pigeonhole_combo: int = 3   # keys = C(blocks, combo) per doc (20)
 
     # --- substring tier (winnowing fingerprints; guarantee t = w + k - 1) -
-    gram_k: int = 16            # char gram size for fingerprinting
-    winnow_window: int = 35     # w ; t = 16 + 35 - 1 = 50 = min_substr
+    # gram_k=32 (not 16): a 32-char shared span needs ~5 consecutive shared
+    # words — selective enough that fingerprint buckets stay near-singleton
+    # on non-duplicate docs; k=16 floods candidates with common-phrase hits.
+    gram_k: int = 32            # char gram size for fingerprinting
+    winnow_window: int = 19     # w ; t = 32 + 19 - 1 = 50 = min_substr
     min_substr: int = 50        # guaranteed-detection threshold (chars)
 
     # --- stage 4: verification ------------------------------------------
@@ -49,6 +60,12 @@ class DedupConfig:
     # --- skew / scale knobs ----------------------------------------------
     max_bucket: int = 64        # buckets larger than this are dropped+logged (A1)
     salt_buckets: int = 16      # two-stage salted aggregation fan (A2)
+    # Explicit salting of the CC min-label aggregation. Spark's hash
+    # aggregate already performs map-side partial aggregation (the implicit
+    # two-stage combine), so the explicit salt only pays for itself under
+    # extreme reducer skew at very large scale; it costs one extra shuffle
+    # per star operation when on.
+    cc_salted_agg: bool = False
 
     # --- stage 5: connected components -----------------------------------
     cc_max_iters: int = 50
@@ -58,8 +75,17 @@ class DedupConfig:
             raise ValueError("bands * rows_per_band must equal minhash_k")
         if self.winnow_window + self.gram_k - 1 != self.min_substr:
             raise ValueError("winnowing guarantee t = w + k - 1 must equal min_substr")
-        if self.simhash_bits % self.pigeonhole_blocks != 0:
-            raise ValueError("pigeonhole_blocks must divide simhash_bits")
+        if self.hamming_radius > self.pigeonhole_blocks - self.pigeonhole_combo:
+            raise ValueError(
+                "pigeonhole guarantee needs hamming_radius <= blocks - combo"
+            )
+
+    @property
+    def simhash_block_widths(self) -> tuple[int, ...]:
+        """Per-block bit widths (as equal as possible, MSB-blocks narrower),
+        e.g. 64 bits / 6 blocks -> (11, 11, 11, 11, 10, 10)."""
+        q, r = divmod(self.simhash_bits, self.pigeonhole_blocks)
+        return tuple(q + 1 if i < r else q for i in range(self.pigeonhole_blocks))
 
     def config_hash(self) -> str:
         """Stable hash of every parameter — keyed into checkpoint manifests

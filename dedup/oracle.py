@@ -155,17 +155,23 @@ def run_oracle(pages: pd.DataFrame, cfg: DedupConfig) -> OracleResult:
         us = sorted(grp["url"])
         add_pairs([(us[0], u) for u in us[1:]], "sha")
 
-    # (c) SimHash pigeonhole blocks
+    # (c) SimHash combination blocking (Manku et al. 2007): one key per
+    #     combo-subset of blocks; hamming <= blocks - combo ⇒ key match.
     sim_u = signatures["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-    width = cfg.simhash_bits // cfg.pigeonhole_blocks
-    for blk in range(cfg.pigeonhole_blocks):
-        vals = (sim_u >> np.uint64(blk * width)) & np.uint64((1 << width) - 1)
-        tmp = pd.DataFrame({"v": vals.view(np.int64), "url": signatures["url"]})
-        for v, n, grp in _multi_groups(tmp, ["v"]):
-            if n > cfg.max_bucket:
-                dropped.append(("simhash", f"{blk}:{v}", n))
-                continue
-            add_pairs(_canon_pairs(list(grp["url"])), "simhash")
+    widths = cfg.simhash_block_widths
+    n_combos = 0
+    combo_rows: list[tuple[int, int, str]] = []
+    for i, url in enumerate(signatures["url"]):
+        for cid, key in H.simhash_combo_keys(
+            int(sim_u[i]), widths, cfg.pigeonhole_combo
+        ):
+            combo_rows.append((cid, key, url))
+    tmp = pd.DataFrame(combo_rows, columns=["cid", "v", "url"])
+    for (cid, v), n, grp in _multi_groups(tmp, ["cid", "v"]):
+        if n > cfg.max_bucket:
+            dropped.append(("simhash", f"{cid}:{v}", n))
+            continue
+        add_pairs(_canon_pairs(list(grp["url"])), "simhash")
 
     # (d) winnowing fingerprints (substring tier)
     fp_rows = (

@@ -54,54 +54,121 @@ class CandidateOut(NamedTuple):
     dropped_buckets: DataFrame # generator, key, n
 
 
-def _capped_pairs(
-    entries: DataFrame,
-    group_cols: list[str],
-    cfg: DedupConfig,
-    generator: str,
-    exclude_probe_probe: bool,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared candidate machinery: group `entries` (one row per member URL,
-    columns group_cols + url + is_probe) by group_cols, drop groups larger
-    than max_bucket (logged, never silent), emit canonical pairs.
+def _simhash_combo_entries(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """SimHash combination blocking (Manku et al. 2007): one packed key per
+    combo-subset of blocks, all built as JVM bit expressions — hamming <=
+    blocks - combo ⇒ at least one combo key equal. Returns
+    (k1=combo_id, k2=packed_key, url)."""
+    import itertools
 
-    The pre-count uses plain groupBy().count() — partial (map-side)
-    aggregation makes the hot-key cost one row per map task. The semi-join
-    against the surviving keys removes hot-bucket rows BEFORE collect_list,
-    so no task ever materializes an oversized member list.
-    """
-    counts = entries.groupBy(*group_cols).agg(F.count("*").alias("n"))
-    ok_keys = counts.filter((F.col("n") >= 2) & (F.col("n") <= cfg.max_bucket))
-    dropped = counts.filter(F.col("n") > cfg.max_bucket).select(
-        F.lit(generator).alias("generator"),
-        F.concat_ws(":", *[F.col(c).cast("string") for c in group_cols]).alias("key"),
-        F.col("n").cast("long").alias("n"),
-    )
-    grouped = (
-        entries.join(ok_keys.select(*group_cols), group_cols, "left_semi")
-        .groupBy(*group_cols)
-        .agg(F.collect_list(F.struct("url", "is_probe")).alias("members"))
-    )
-    pairs = grouped.select("members").mapInPandas(
-        udfs.make_pairs_fn(exclude_probe_probe), udfs.PAIRS_SCHEMA
-    )
-    return pairs.withColumn("source", F.lit(generator)), dropped
+    widths = cfg.simhash_block_widths
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
+
+    def _block(i: int):
+        return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    combo_structs = []
+    for cid, idxs in enumerate(
+        itertools.combinations(range(cfg.pigeonhole_blocks), cfg.pigeonhole_combo)
+    ):
+        key = F.lit(0).cast("long")
+        for i in idxs:
+            key = key * F.lit(1 << widths[i]) + _block(i)
+        combo_structs.append(F.struct(F.lit(cid).alias("k1"), key.alias("k2")))
+    return signatures.select(
+        "url", F.explode(F.array(*combo_structs)).alias("b")
+    ).select(F.col("b.k1").alias("k1"), F.col("b.k2").alias("k2"), "url")
 
 
 def stage3_candidates(
     signatures: DataFrame, buckets: DataFrame, cfg: DedupConfig
 ) -> CandidateOut:
+    """All four candidate generators in one unified pass.
+
+    The three capped generators (lsh buckets, simhash combo keys, winnow
+    fingerprints) normalize to a single entries relation
+    (gen, k1 int, k2 long, url, is_probe) and share ONE
+    count -> semi-join -> collect_list -> explode pipeline: ~6 shuffles
+    total instead of ~4 per generator. The sha tier stays separate (star
+    pairs are linear and skew-proof, no cap needed).
+
+    Skew defense (A1): the pre-count is a plain groupBy().count() — Spark's
+    map-side partial aggregation makes a hot key cost one counter row per
+    map task — and the left-semi join against surviving keys removes
+    hot-bucket rows BEFORE collect_list, so no task ever materializes an
+    oversized member list.
+    """
+    from pyspark import StorageLevel
+
     # (a) LSH home+probe buckets. Dedup (band, key, url) with the home row
-    # winning (min over boolean: false < true) — J2 semantics, oracle parity.
-    ent = buckets.groupBy("band", "bucket_key", "url").agg(
-        F.min("is_probe").alias("is_probe")
+    # winning (min over boolean: false < true) — J2 semantics.
+    lsh_entries = (
+        buckets.groupBy("band", "bucket_key", "url")
+        .agg(F.min("is_probe").alias("is_probe"))
+        .select(
+            F.lit("lsh").alias("gen"),
+            F.col("band").alias("k1"),
+            F.col("bucket_key").alias("k2"),
+            "url",
+            "is_probe",
+        )
     )
-    lsh_pairs, lsh_drop = _capped_pairs(
-        ent, ["band", "bucket_key"], cfg, "lsh", exclude_probe_probe=True
+    # (c) simhash combination keys, (d) winnow fingerprints (distinct per
+    # doc via np.unique in the kernel, so count(*) == distinct urls).
+    sim_entries = _simhash_combo_entries(signatures, cfg).select(
+        F.lit("simhash").alias("gen"), "k1", "k2", "url", F.lit(False).alias("is_probe")
+    )
+    fp_entries = signatures.select(
+        F.lit("winnow").alias("gen"),
+        F.lit(0).alias("k1"),
+        F.explode("fingerprints").alias("k2"),
+        "url",
+        F.lit(False).alias("is_probe"),
+    )
+    # entries are persisted (spilling): consumed by the counts pass, the
+    # collect_list pass, and (via counts) the dropped_buckets action.
+    entries = (
+        lsh_entries.unionByName(sim_entries)
+        .unionByName(fp_entries)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keys = ["gen", "k1", "k2"]
+    counts = entries.groupBy(*keys).agg(F.count("*").alias("n"))
+    ok_keys = counts.filter((F.col("n") >= 2) & (F.col("n") <= cfg.max_bucket))
+    dropped = counts.filter(F.col("n") > cfg.max_bucket).select(
+        F.col("gen").alias("generator"),
+        # key strings match the oracle's per-generator formats
+        F.when(F.col("gen") == "winnow", F.col("k2").cast("string"))
+        .otherwise(F.concat_ws(":", "k1", "k2"))
+        .alias("key"),
+        F.col("n").cast("long").alias("n"),
+    )
+    grouped = (
+        entries.join(ok_keys.select(*keys), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.collect_list(F.struct("url", "is_probe")).alias("members"))
+    )
+    # Pair explosion stays JVM-side (double explode inside whole-stage
+    # codegen — no Arrow round-trip): a bucket of n members -> n^2 generated
+    # rows filtered to canonical pairs, bounded by max_bucket. The
+    # probe-probe exclusion ([MPLSH] J2: the index stores home buckets,
+    # perturbation applies to queries) only bites for gen='lsh' — other
+    # generators have is_probe=false everywhere.
+    pairs = (
+        grouped.select("gen", F.explode("members").alias("a"), F.col("members"))
+        .select("gen", "a", F.explode("members").alias("b"))
+        .filter(F.col("a.url") < F.col("b.url"))
+        .filter(~(F.col("a.is_probe") & F.col("b.is_probe")))
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("b.url").alias("url_b"),
+            F.col("gen").alias("source"),
+        )
     )
 
-    # (b) exact tier: identical text_sha -> star pairs (linear in group size,
-    # skew-proof by construction; no cap needed).
+    # (b) exact tier: identical text_sha -> star pairs.
     sha_roots = (
         signatures.groupBy("text_sha")
         .agg(F.min("url").alias("url_a"), F.count("*").alias("n"))
@@ -115,48 +182,9 @@ def stage3_candidates(
         .withColumn("source", F.lit("sha"))
     )
 
-    # (c) SimHash pigeonhole blocks: hamming <= blocks-1 ⇒ >= 1 equal block.
-    width = cfg.simhash_bits // cfg.pigeonhole_blocks
-    mask = (1 << width) - 1
-    block_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("v"),
-            )
-            for i in range(cfg.pigeonhole_blocks)
-        ]
-    )
-    sim_entries = (
-        signatures.select("url", F.explode(block_structs).alias("b"))
-        .select(F.col("b.blk").alias("blk"), F.col("b.v").alias("v"), "url")
-        .withColumn("is_probe", F.lit(False))
-    )
-    sim_pairs, sim_drop = _capped_pairs(
-        sim_entries, ["blk", "v"], cfg, "simhash", exclude_probe_probe=False
-    )
-
-    # (d) winnowing fingerprints (substring tier). fingerprints are distinct
-    # per doc (np.unique in the kernel) so count(*) == distinct urls.
-    fp_entries = (
-        signatures.select("url", F.explode("fingerprints").alias("fp"))
-        .withColumn("is_probe", F.lit(False))
-    )
-    win_pairs, win_drop = _capped_pairs(
-        fp_entries, ["fp"], cfg, "winnow", exclude_probe_probe=False
-    )
-
-    all_pairs = (
-        lsh_pairs.unionByName(sha_pairs)
-        .unionByName(sim_pairs)
-        .unionByName(win_pairs)
-    )
-    candidates = all_pairs.groupBy("url_a", "url_b").agg(
+    candidates = pairs.unionByName(sha_pairs).groupBy("url_a", "url_b").agg(
         F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources")
     )
-    dropped = lsh_drop.unionByName(sim_drop).unionByName(win_drop)
     return CandidateOut(candidates, dropped)
 
 
@@ -217,14 +245,21 @@ def stage4_verify(
     )
     base = base.withColumn("cheap_dup", cheap)
 
-    need = base.filter(
-        F.col("sources").contains("winnow") & ~F.col("cheap_dup")
-    ).select("url_a", "url_b")
+    # Substring confirm for ALL winnow-sourced pairs, derived from the
+    # `candidates` input (not from `base`): deriving from base would put
+    # the expensive join subtree on both sides of a diamond and Spark would
+    # evaluate it twice. Checking a superset is cheap — identical texts
+    # short-circuit at the first matching gram — and the oracle's rule
+    # (substr only decides what the cheap rules left open) is restored
+    # below by masking with ~cheap_dup.
+    need = candidates.filter(F.col("sources").contains("winnow")).select(
+        "url_a", "url_b"
+    )
     texts = pages.select("url", "text")
-    # `need` is small (undecided winnow pairs) — broadcast it to both text
-    # joins so the big pages table never shuffles here.
+    # No broadcast hints: `need` can be large on pathological corpora —
+    # AQE broadcasts at runtime when the measured size allows.
     need_t = (
-        texts.join(F.broadcast(need), texts["url"] == need["url_a"])
+        texts.join(need, texts["url"] == need["url_a"])
         .select("url_a", "url_b", F.col("text").alias("text_a"))
         .join(texts, F.col("url") == F.col("url_b"))
         .select("url_a", "url_b", "text_a", F.col("text").alias("text_b"))
@@ -232,8 +267,11 @@ def stage4_verify(
     substr = need_t.mapInPandas(udfs.make_substr_fn(cfg), udfs.SUBSTR_SCHEMA)
 
     verified = (
-        base.join(F.broadcast(substr), ["url_a", "url_b"], "left")
-        .withColumn("substr_ok", F.coalesce("substr_ok", F.lit(False)))
+        base.join(substr, ["url_a", "url_b"], "left")
+        .withColumn(
+            "substr_ok",
+            F.coalesce("substr_ok", F.lit(False)) & ~F.col("cheap_dup"),
+        )
         .withColumn("is_dup", F.col("cheap_dup") | F.col("substr_ok"))
         .select(
             "url_a", "url_b", "jaccard", "hamming",

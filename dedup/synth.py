@@ -246,6 +246,26 @@ def pages_schema():
 
 
 def load_pages_spark(spark, sf_dir: str, seed: int = 42, replicate: int = 1):
+    """Base corpus ships driver->executors once (Arrow createDataFrame);
+    replication happens Spark-side (crossJoin with a replica range + JVM
+    url rewrite) so bench corpora scale without serial driver work. The
+    url scheme matches replicate_corpus() exactly."""
+    from pyspark.sql import functions as F
+
     corpus = make_corpus(sf_dir, seed)
-    pdf = replicate_corpus(corpus, replicate)
-    return spark.createDataFrame(pdf, schema=pages_schema())
+    base = spark.createDataFrame(corpus.pages, schema=pages_schema())
+    if replicate <= 1:
+        return base
+    reps = spark.range(replicate).select(F.col("id").cast("int").alias("rep"))
+    return base.crossJoin(reps).select(
+        F.concat(
+            F.lit("https://r"),
+            F.col("rep").cast("string"),
+            F.lit("."),
+            F.substring("url", 9, 1 << 20),
+        ).alias("url"),
+        "warc_ts",
+        "html",
+        "text",
+        "lang",
+    )

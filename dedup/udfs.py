@@ -176,45 +176,9 @@ def _empty_buckets() -> pd.DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# U3 — pair explosion: bucket member lists -> canonical candidate pairs
-# ---------------------------------------------------------------------------
-def make_pairs_fn(exclude_probe_probe: bool):
-    """mapInPandas fn over pre-grouped rows
-    (members: array<struct<url string, is_probe boolean>>).
-
-    Oversized buckets were already dropped upstream (A1 cap via pre-count
-    semi-join, stages.py), so each member list here is <= max_bucket.
-    Pairs are canonical (url_a < url_b); probe-vs-probe pairs are excluded
-    for the LSH generator (J2 semantics: [MPLSH] perturbs the query only,
-    the index stores home buckets).
-    """
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_a: list[str] = []
-            out_b: list[str] = []
-            for members in pdf["members"]:
-                ms = sorted((m["url"], m["is_probe"]) for m in members)
-                k = len(ms)
-                for i in range(k):
-                    ua, pa = ms[i]
-                    for j in range(i + 1, k):
-                        ub, pb = ms[j]
-                        if ua == ub:
-                            continue
-                        if exclude_probe_probe and pa and pb:
-                            continue
-                        out_a.append(ua)
-                        out_b.append(ub)
-            yield pd.DataFrame(
-                {
-                    "url_a": pd.Series(out_a, dtype=object),
-                    "url_b": pd.Series(out_b, dtype=object),
-                }
-            )
-
-    return fn
+# NOTE: pair explosion (former U3) is NOT a UDF — it runs JVM-side as a
+# double explode over the collected member lists (stages._capped_pairs),
+# staying inside whole-stage codegen. Kept out of Python deliberately.
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,113 @@
+"""M7 scaling-efficiency bench (north rule's two-cluster-size protocol,
+sandbox substitution: same job, same input, local[8] vs local[32]).
+
+Launches jobs/run_dedup.py twice via spark-submit --py-files (the mandated
+production launch mode), computes
+
+    efficiency = (docs_per_sec[32] / docs_per_sec[8]) / (32 / 8)
+
+and rewrites BENCH/BASELINE.md with the measured numbers.
+
+Usage: python scripts/bench_scaling.py [--sf-dir DIR] [--replicate N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_pyfiles_zip(path: str) -> None:
+    with zipfile.ZipFile(path, "w") as z:
+        pkg = os.path.join(REPO, "dedup")
+        for fn in sorted(os.listdir(pkg)):
+            if fn.endswith(".py"):
+                z.write(os.path.join(pkg, fn), f"dedup/{fn}")
+
+
+def run_one(parallelism: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
+    wh = tempfile.mkdtemp(prefix=f"dedup_scale_{parallelism}_")
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{parallelism}]",
+        "--driver-memory", "32g",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "run_dedup.py"),
+        "--input", sf_dir,
+        "--warehouse", wh,
+        "--parallelism", str(parallelism),
+        "--replicate", str(replicate),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3000, check=True
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicate", type=int, default=4)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    zip_path = os.path.join(tempfile.gettempdir(), "dedup_pyfiles.zip")
+    make_pyfiles_zip(zip_path)
+
+    res = {}
+    for p in (args.low, args.high):
+        res[p] = run_one(p, args.sf_dir, args.replicate, zip_path)
+        print(f"local[{p}]: {json.dumps(res[p])}", file=sys.stderr)
+
+    thr_lo = res[args.low]["docs_per_sec"]
+    thr_hi = res[args.high]["docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (args.high / args.low)
+    summary = {
+        "docs": res[args.high]["docs"],
+        "replicate": args.replicate,
+        "sf_dir": args.sf_dir,
+        f"docs_per_sec_local{args.low}": thr_lo,
+        f"docs_per_sec_local{args.high}": thr_hi,
+        f"wall_sec_local{args.low}": res[args.low]["wall_sec"],
+        f"wall_sec_local{args.high}": res[args.high]["wall_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured sandbox numbers (M7)\n\n"
+            "Protocol (north rule, sandbox substitution for N vs 4N\n"
+            "executors): the SAME dedup job on the SAME synthesized corpus\n"
+            f"(seed 42, `{args.sf_dir}` fixtures, replicate ×{args.replicate}),\n"
+            "launched twice via `spark-submit --py-files dedup.zip\n"
+            f"jobs/run_dedup.py` at local[{args.low}] and local[{args.high}].\n"
+            "Wall time excludes JVM startup (measured inside the job, from\n"
+            "corpus load to final table committed).\n\n"
+            "| quantity | value |\n|---|---|\n"
+            f"| documents | {summary['docs']} |\n"
+            f"| docs/sec @ local[{args.low}] | {thr_lo} |\n"
+            f"| docs/sec @ local[{args.high}] | {thr_hi} |\n"
+            f"| wall sec @ local[{args.low}] | {summary[f'wall_sec_local{args.low}']} |\n"
+            f"| wall sec @ local[{args.high}] | {summary[f'wall_sec_local{args.high}']} |\n"
+            f"| speedup {args.low}->{args.high} | {round(thr_hi / thr_lo, 2)}x |\n"
+            f"| **scaling efficiency** ((thr_hi/thr_lo)/{args.high // args.low}) | **{summary['scaling_efficiency']}** |\n\n"
+            "Target: >= 0.8 (BASELINE.json:2,14). See BASELINE.md for the\n"
+            "full reference-point table.\n"
+        )
+    print(f"wrote {md}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -185,11 +185,31 @@ def test_simhash_identical_and_perturbed():
     assert 0 < bin(h1 ^ h3).count("1") <= 16
 
 
-def test_simhash_blocks_pigeonhole():
-    a, b = 0b1111, 0b0111  # hamming 1
-    ba = H.simhash_blocks(a, 4)
-    bb = H.simhash_blocks(b, 4)
-    assert sum(x == y for x, y in zip(ba, bb)) >= 3
+def test_simhash_blocks_and_combo_pigeonhole():
+    from dedup.config import DEFAULT
+
+    widths = DEFAULT.simhash_block_widths
+    assert sum(widths) == 64 and len(widths) == DEFAULT.pigeonhole_blocks
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        a = int(rng.integers(0, 1 << 63))
+        # flip up to hamming_radius random bits
+        b = a
+        for bit in rng.choice(64, size=DEFAULT.hamming_radius, replace=False):
+            b ^= 1 << int(bit)
+        ka = dict(H.simhash_combo_keys(a, widths, DEFAULT.pigeonhole_combo))
+        kb = dict(H.simhash_combo_keys(b, widths, DEFAULT.pigeonhole_combo))
+        # pigeonhole guarantee: >= 1 combo key identical at hamming <= radius
+        assert any(ka[c] == kb[c] for c in ka)
+    # reconstruction: blocks re-concatenated give back the value
+    val = 0x123456789ABCDEF0
+    blocks = H.simhash_blocks(val, widths)
+    rebuilt = 0
+    shift = 0
+    for w, blk in zip(widths, blocks):
+        rebuilt |= blk << shift
+        shift += w
+    assert rebuilt == val
     assert H.simhash64(np.empty(0, dtype=np.uint64)) == 0
 
 
