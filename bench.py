@@ -43,13 +43,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     wh_root = tempfile.mkdtemp(prefix="dedup_bench_wh_")
     try:
+        # untimed prep: synthesize + snapshot the input corpus (64-way
+        # layout), mirroring jobs/run_dedup.py — the production input is a
+        # table that already exists; synthesis is not dedup throughput
+        from dedup.catalog import Warehouse
+
         t0 = time.monotonic()
-        pages = load_pages_spark(spark, args.sf_dir, replicate=args.replicate)
+        wh0 = Warehouse(wh_root, DEFAULT.config_hash(), "bench")
+        pages_in = load_pages_spark(spark, args.sf_dir, replicate=args.replicate)
+        wh0.write(pages_in.repartition(64), "pages")
+        pages = wh0.read(spark, "pages")
         n_docs = pages.count()
         timings["synth_and_load"] = round(time.monotonic() - t0, 2)
 
         t0 = time.monotonic()
-        run(spark, pages, DEFAULT, wh_root, resume=False)
+        run(spark, pages, DEFAULT, wh_root, resume=True)
         e2e = time.monotonic() - t0
         timings["dedup_e2e"] = round(e2e, 2)
 

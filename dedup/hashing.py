@@ -238,12 +238,12 @@ def band_keys_batch(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # multi-probe perturbation sequence ([MPLSH §4.1] expand/shift heap)
 # ---------------------------------------------------------------------------
-def probe_sets(gaps: np.ndarray, t_probes: int) -> list[tuple[int, ...]]:
+def probe_sets(gaps, t_probes: int) -> list[tuple[int, ...]]:
     """First (t_probes - 1) perturbation sets in ascending-score order.
 
-    gaps: float/uint array (r,) — per-row perturbation cost
-          (runnerup - min for that permutation). Rows with gap == 0 are
-          excluded (perturbing them reproduces the home key).
+    gaps: per-row perturbation cost (runnerup - min for that permutation),
+          numpy array or list of ints. Rows with gap == 0 are excluded
+          (perturbing them reproduces the home key).
     Returns a list of tuples of ORIGINAL row indices (within the band),
     in exact probe order. Deterministic: ties broken by the sorted-index
     tuple itself.
@@ -251,33 +251,94 @@ def probe_sets(gaps: np.ndarray, t_probes: int) -> list[tuple[int, ...]]:
     Algorithm per [MPLSH §4.1]: sort costs ascending (z_1..z_m); start the
     heap with {1}; pop the min-score set S, emit it, push shift(S) (replace
     max element j with j+1) and expand(S) (add j+1).
+
+    Implementation is pure Python on purpose: numpy call overhead dominates
+    16-element arrays. sorted((gap, idx)) matches the former
+    np.lexsort((idx, gaps)) order; float() and np.float64 are the same
+    IEEE double, so scores and heap order are bit-identical.
     """
-    gaps = np.asarray(gaps)
-    valid = np.nonzero(gaps > 0)[0]
-    if t_probes <= 1 or valid.size == 0:
+    if isinstance(gaps, np.ndarray):
+        gaps = gaps.tolist()
+    if t_probes <= 1:
         return []
-    order = valid[np.lexsort((valid, gaps[valid]))]  # ascending (gap, index)
-    z = gaps[order].astype(np.float64)
-    m = order.size
+    order = sorted((g, i) for i, g in enumerate(gaps) if g > 0)
+    if not order:
+        return []
+    z = [float(g) for g, _ in order]
+    idx = [i for _, i in order]
+    m = len(order)
 
     out: list[tuple[int, ...]] = []
     # heap entries: (score, sorted-positions tuple)
-    heap: list[tuple[float, tuple[int, ...]]] = [(float(z[0]), (0,))]
+    heap: list[tuple[float, tuple[int, ...]]] = [(z[0], (0,))]
     seen = {(0,)}
     while heap and len(out) < t_probes - 1:
         score, s = heapq.heappop(heap)
-        out.append(tuple(sorted(int(order[p]) for p in s)))
+        out.append(tuple(sorted(idx[p] for p in s)))
         j = s[-1]
         if j + 1 < m:
             shift = s[:-1] + (j + 1,)
             if shift not in seen:
                 seen.add(shift)
-                heapq.heappush(heap, (score - float(z[j]) + float(z[j + 1]), shift))
+                heapq.heappush(heap, (score - z[j] + z[j + 1], shift))
             expand = s + (j + 1,)
             if expand not in seen:
                 seen.add(expand)
-                heapq.heappush(heap, (score + float(z[j + 1]), expand))
+                heapq.heappush(heap, (score + z[j + 1], expand))
     return out
+
+
+def probe_keys_batch(
+    minh_mat: np.ndarray,
+    run_mat: np.ndarray,
+    bands: int,
+    rows: int,
+    t_probes: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All perturbed bucket keys for a BATCH of signatures.
+
+    minh_mat/run_mat: uint64 (N, K). Returns (doc_idx, band, rank, key)
+    arrays; rank starts at 1 (rank 0 = home bucket, from band_keys_batch).
+    Probe-set generation is per (doc, band) — a tiny pure-Python heap —
+    but all slice hashing happens in ONE vectorized FNV pass over an
+    (M, rows) matrix, absorbing the per-row band id first, exactly like
+    band_keys does for home buckets.
+    """
+    n = minh_mat.shape[0]
+    slices: list[np.ndarray] = []
+    meta_doc: list[int] = []
+    meta_band: list[int] = []
+    meta_rank: list[int] = []
+    if t_probes > 1:
+        gaps_mat = run_mat - minh_mat  # uint64, >= 0 by construction
+        for i in range(n):
+            gaps = gaps_mat[i].tolist()
+            for band in range(bands):
+                lo = band * rows
+                sets = probe_sets(gaps[lo : lo + rows], t_probes)
+                for rank, rows_to_flip in enumerate(sets, start=1):
+                    s = minh_mat[i, lo : lo + rows].copy()
+                    for rr in rows_to_flip:
+                        s[rr] = run_mat[i, lo + rr]
+                    slices.append(s)
+                    meta_doc.append(i)
+                    meta_band.append(band)
+                    meta_rank.append(rank)
+    if not slices:
+        e_i = np.empty(0, dtype=np.int64)
+        return e_i, e_i.copy(), e_i.copy(), np.empty(0, dtype=np.uint64)
+    mat = np.vstack(slices)
+    band_arr = np.array(meta_band, dtype=np.uint64)
+    h = np.full(mat.shape[0], FNV_OFFSET, dtype=np.uint64)
+    h = _fnv_absorb_u64(h, band_arr)
+    for rr in range(rows):
+        h = _fnv_absorb_u64(h, mat[:, rr])
+    return (
+        np.array(meta_doc, dtype=np.int64),
+        band_arr.astype(np.int64),
+        np.array(meta_rank, dtype=np.int64),
+        h,
+    )
 
 
 def probe_keys_for_doc(
@@ -287,34 +348,15 @@ def probe_keys_for_doc(
     rows: int,
     t_probes: int,
 ) -> list[tuple[int, int, np.uint64]]:
-    """All perturbed bucket keys for one signature.
+    """All perturbed bucket keys for one signature (delegates to
+    probe_keys_batch so oracle and Spark share one code path).
 
-    Returns [(band, probe_rank, key), ...] with probe_rank starting at 1
-    (rank 0 is the home bucket, produced by band_keys). Perturbed keys that
-    collide with the home key are still emitted (dedup happens downstream);
-    they cannot occur when gap>0 rows are perturbed except by FNV collision.
+    Returns [(band, probe_rank, key), ...] with probe_rank starting at 1.
     """
-    out: list[tuple[int, int, np.uint64]] = []
-    if t_probes <= 1:
-        return out
-    gaps = runner - minh  # uint64, >= 0 by construction
-    for band in range(bands):
-        lo = band * rows
-        sets = probe_sets(gaps[lo : lo + rows], t_probes)
-        if not sets:
-            continue
-        # build all perturbed slices for this band, hash them in one batch
-        # (must produce exactly what band_keys computes on the same slice)
-        slices = np.tile(minh[lo : lo + rows], (len(sets), 1))
-        for idx, rows_to_flip in enumerate(sets):
-            for rr in rows_to_flip:
-                slices[idx, rr] = runner[lo + rr]
-        h = np.full(len(sets), FNV_OFFSET, dtype=np.uint64)
-        h = _fnv_absorb_u64(h, np.full(len(sets), np.uint64(band)))
-        for rr in range(rows):
-            h = _fnv_absorb_u64(h, slices[:, rr])
-        out.extend((band, rank, h[rank - 1]) for rank in range(1, len(sets) + 1))
-    return out
+    _d, band, rank, key = probe_keys_batch(
+        minh[None, :], runner[None, :], bands, rows, t_probes
+    )
+    return [(int(b), int(r), np.uint64(k)) for b, r, k in zip(band, rank, key)]
 
 
 # ---------------------------------------------------------------------------

@@ -45,8 +45,15 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # pages.html is binary and texts are long: keep task result sizes sane
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Small bins: stage 1/2 are CPU-heavy per byte (~0.7 us/byte of
+        # Arrow-UDF work), so 128m file bins would starve the cores on
+        # modest corpora — 8m bins keep every core fed. Production
+        # clusters with TB-scale inputs override this via --conf.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "256k")
+        # keep AQE from coalescing CPU-bearing shuffle stages below core
+        # count: target smaller post-shuffle partitions on small corpora
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -136,21 +136,15 @@ def make_buckets_fn(cfg: DedupConfig):
             probe_out = [np.zeros(n * cfg.bands, dtype=bool)]
             rank_out = [np.zeros(n * cfg.bands, dtype=np.int32)]
             if cfg.probes > 1:
-                pb, pk, pu, pr = [], [], [], []
-                for i in range(n):
-                    for band, rank, key in H.probe_keys_for_doc(
-                        minh[i], run[i], cfg.bands, cfg.rows_per_band, cfg.probes
-                    ):
-                        pb.append(band)
-                        pk.append(np.uint64(key))
-                        pu.append(urls[i])
-                        pr.append(rank)
-                if pb:
-                    bands_out.append(np.array(pb, dtype=np.int32))
-                    keys_out.append(np.array(pk, dtype=np.uint64).view(np.int64))
-                    urls_out.append(np.array(pu, dtype=object))
-                    probe_out.append(np.ones(len(pb), dtype=bool))
-                    rank_out.append(np.array(pr, dtype=np.int32))
+                doc_idx, p_band, p_rank, p_key = H.probe_keys_batch(
+                    minh, run, cfg.bands, cfg.rows_per_band, cfg.probes
+                )
+                if doc_idx.size:
+                    bands_out.append(p_band.astype(np.int32))
+                    keys_out.append(p_key.view(np.int64))
+                    urls_out.append(np.take(urls, doc_idx))
+                    probe_out.append(np.ones(doc_idx.size, dtype=bool))
+                    rank_out.append(p_rank.astype(np.int32))
             yield pd.DataFrame(
                 {
                     "band": np.concatenate(bands_out),

@@ -54,7 +54,10 @@ def main() -> None:
         wh = Warehouse(args.warehouse, cfg.config_hash(), args.resume_run_id or "prep")
         if not wh.is_complete("pages"):
             pages = load_pages_spark(spark, args.input, replicate=args.replicate)
-            wh.write(pages, "pages")
+            # Fixed 64-way layout: the snapshot's file count sets the map-side
+            # parallelism of every downstream stage (mapInPandas inherits scan
+            # partitions), and must not depend on which cluster size wrote it.
+            wh.write(pages.repartition(64), "pages")
         pages = wh.read(spark, "pages")
         n_docs = pages.count()
 

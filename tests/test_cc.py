@@ -1,0 +1,63 @@
+"""Property tests for the distributed connected-components stage
+(SURVEY.md §5.3): large-star/small-star must equal a union-find oracle on
+random graphs, with and without the explicit salted-aggregation mode."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dedup.config import DEFAULT
+from dedup.cc import connected_components
+from dedup.oracle import UnionFind
+
+
+def _random_case(seed: int, n_nodes: int, n_edges: int):
+    rng = np.random.default_rng(seed)
+    nodes = [f"n{i:04d}" for i in range(n_nodes)]
+    edges = [
+        (nodes[int(rng.integers(n_nodes))], nodes[int(rng.integers(n_nodes))])
+        for _ in range(n_edges)
+    ]
+    return nodes, edges
+
+
+def _oracle_partition(nodes, edges):
+    uf = UnionFind()
+    for n in nodes:
+        uf.find(n)
+    for a, b in edges:
+        uf.union(a, b)
+    return {n: uf.find(n) for n in nodes}
+
+
+@pytest.mark.parametrize(
+    "seed,n_nodes,n_edges,salted",
+    [(0, 60, 40, False), (1, 200, 300, False), (2, 400, 100, True), (3, 50, 0, False)],
+)
+def test_cc_matches_union_find(spark, seed, n_nodes, n_edges, salted):
+    nodes, edges = _random_case(seed, n_nodes, n_edges)
+    want = _oracle_partition(nodes, edges)
+    cfg = DEFAULT.with_(cc_salted_agg=salted)
+    nodes_df = spark.createDataFrame(pd.DataFrame({"url": nodes}))
+    edges_df = spark.createDataFrame(
+        pd.DataFrame(edges or [("x", "x")], columns=["url_a", "url_b"])
+    )
+    got = dict(
+        connected_components(edges_df, nodes_df, cfg)
+        .toPandas()[["url", "cluster_id"]]
+        .values.tolist()
+    )
+    for n in nodes:
+        assert got[n] == want[n], (n, got[n], want[n])
+
+
+def test_cc_single_giant_chain(spark):
+    """A path graph is the worst case for label propagation (diameter n);
+    large-star/small-star must converge in O(log n) rounds — well under
+    cc_max_iters for a 256-node chain."""
+    nodes = [f"c{i:04d}" for i in range(256)]
+    edges = list(zip(nodes[:-1], nodes[1:]))
+    nodes_df = spark.createDataFrame(pd.DataFrame({"url": nodes}))
+    edges_df = spark.createDataFrame(pd.DataFrame(edges, columns=["url_a", "url_b"]))
+    got = connected_components(edges_df, nodes_df, DEFAULT).toPandas()
+    assert set(got["cluster_id"]) == {"c0000"}
