@@ -224,6 +224,106 @@ def _knn_l2(spark, sf_dir):  # W2 + F12: brute-force exact kNN over embeddings
     )
 
 
+def _cosine_near_dup(spark, sf_dir):  # embedding near-dup tier (exact)
+    """Canonical vector pairs with cosine similarity >= 0.35 (the fixture's
+    ~99.9th percentile; its max pairwise cosine is ~0.51, so a 0.9 cut
+    would be vacuously empty) — brute force at fixture scale; the
+    LSH-bucketed scale path is `ann_hyperplane`."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot("ea", "eb") / F.sqrt(dot("ea", "ea") * dot("eb", "eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 5).alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+    )
+
+
+def _ann_hyperplane(spark, sf_dir, n_bits: int = 4):
+    """Approximate nearest neighbors at scale: random-hyperplane LSH
+    (Charikar sign-random-projection) buckets the embeddings; the query
+    side is multi-probed to every Hamming-1 code (the [MPLSH] move applied
+    to the ANN path), so candidates form within probed buckets only — the
+    O(n^2) cross join of `knn_l2` becomes a bucket-local join.
+
+    n_bits=4 suits this fixture's diffuse embeddings (true top-5 neighbors
+    sit near cosine ~0.5, so each extra plane halves recall); production
+    embeddings with tight neighborhoods use 12-16 bits + the same probes.
+    Deterministic planes (seed 42). Rows-only driver check; recall vs
+    brute force is pytest-gated (tests/test_ann.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(42)
+    planes = [[float(x) for x in row]
+              for row in rng.standard_normal((n_bits, 64)).astype(np.float32)]
+
+    def code_fn(batches):
+        P = np.asarray(planes, dtype=np.float32)
+        for pdf in batches:
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float32)
+            bits = (emb @ P.T) > 0
+            code = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(bits.shape[1]):
+                code |= bits[:, i].astype(np.int64) << i
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": code,
+                 "embedding": pdf["embedding"]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("code", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    coded = e.select("vec_id", "embedding").mapInPandas(code_fn, schema)
+    # multi-probe expansion on the query side: home code + each 1-bit flip
+    probe_codes = F.array(
+        F.col("code"),
+        *[F.col("code").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+    )
+    a = coded.select(
+        F.explode(probe_codes).alias("code"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = coded.select(
+        F.col("code"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dist = F.sqrt(dot("ea", "ea") - 2 * dot("ea", "eb") + dot("eb", "eb"))
+    w = Window.partitionBy("id_a").orderBy("dist", "neighbor_id")
+    return (
+        a.join(b, "code")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", F.col("id_b").alias("neighbor_id"), F.round(dist, 5).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("id_a").alias("query_id"), "neighbor_id", "dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup-pipeline queries (non-SQL-expressible -> rows-only driver check;
 # real gate = oracle-parity pytest)
@@ -276,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": _union_distinct,
         "anti_join": _anti_join,
         "knn_l2": _knn_l2,
+        "cosine_near_dup": _cosine_near_dup,
+        "ann_hyperplane": _ann_hyperplane,  # rows-only; recall pytest-gated
         # dedup engine stages (rows-only; parity-tested against the oracle)
         "dedup_signatures": _dedup_stage("signatures"),
         "dedup_buckets": _dedup_stage("buckets"),
@@ -372,6 +474,19 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "cosine_near_dup": """
+            SELECT id_a, id_b, cos FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))
+                           / SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                   CAST(a.embedding AS DOUBLE[]))
+                                * list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[]))),
+                           5) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cos >= 0.35
         """,
         "knn_l2": """
             SELECT query_id, neighbor_id, dist FROM (
