@@ -328,7 +328,7 @@ def _ann_hyperplane(spark, sf_dir, n_bits: int = 4):
 # dedup-pipeline queries (non-SQL-expressible -> rows-only driver check;
 # real gate = oracle-parity pytest)
 # ---------------------------------------------------------------------------
-_PIPELINE_CACHE: dict[str, dict] = {}
+_PIPELINE_CACHE: dict[tuple[str, str], dict] = {}
 
 
 def _dedup_stage(table: str):
@@ -338,14 +338,17 @@ def _dedup_stage(table: str):
         from dedup.stages import cluster_report
         from dedup.synth import load_pages_spark
 
-        # one pipeline build per sf_dir: the driver calls each dedup_*
-        # query separately; the cached stage DataFrames (signatures,
-        # candidates, verified are .cache()d inside run_in_memory) make
-        # the 2nd..7th query reuse the same computation
-        if sf_dir not in _PIPELINE_CACHE:
+        # one pipeline build per (session, sf_dir): the driver calls each
+        # dedup_* query separately; the cached stage DataFrames
+        # (signatures/candidates/verified are .cache()d inside
+        # run_in_memory) make the 2nd..7th query reuse the computation.
+        # Keyed by applicationId so a restarted session never gets stale
+        # DataFrames bound to a stopped context.
+        key = (spark.sparkContext.applicationId, sf_dir)
+        if key not in _PIPELINE_CACHE:
             pages = load_pages_spark(spark, sf_dir)
-            _PIPELINE_CACHE[sf_dir] = run_in_memory(spark, pages, DEFAULT)
-        out = _PIPELINE_CACHE[sf_dir]
+            _PIPELINE_CACHE[key] = run_in_memory(spark, pages, DEFAULT)
+        out = _PIPELINE_CACHE[key]
         if table == "report":
             return cluster_report(out["clusters"])
         df = out[table]

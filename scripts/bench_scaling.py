@@ -84,29 +84,16 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "last_scaling_run.json"), "w") as f:
+        json.dump(summary, f, indent=1)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(md, "w") as f:
+    with open(md, "a") as f:
         f.write(
-            "# BENCH/BASELINE — measured sandbox numbers (M7)\n\n"
-            "Protocol (north rule, sandbox substitution for N vs 4N\n"
-            "executors): the SAME dedup job on the SAME synthesized corpus\n"
-            f"(seed 42, `{args.sf_dir}` fixtures, replicate ×{args.replicate}),\n"
-            "launched twice via `spark-submit --py-files dedup.zip\n"
-            f"jobs/run_dedup.py` at local[{args.low}] and local[{args.high}].\n"
-            "Wall time excludes JVM startup (measured inside the job, from\n"
-            "corpus load to final table committed).\n\n"
-            "| quantity | value |\n|---|---|\n"
-            f"| documents | {summary['docs']} |\n"
-            f"| docs/sec @ local[{args.low}] | {thr_lo} |\n"
-            f"| docs/sec @ local[{args.high}] | {thr_hi} |\n"
-            f"| wall sec @ local[{args.low}] | {summary[f'wall_sec_local{args.low}']} |\n"
-            f"| wall sec @ local[{args.high}] | {summary[f'wall_sec_local{args.high}']} |\n"
-            f"| speedup {args.low}->{args.high} | {round(thr_hi / thr_lo, 2)}x |\n"
-            f"| **scaling efficiency** ((thr_hi/thr_lo)/{args.high // args.low}) | **{summary['scaling_efficiency']}** |\n\n"
-            "Target: >= 0.8 (BASELINE.json:2,14). See BASELINE.md for the\n"
-            "full reference-point table.\n"
+            f"- rep{args.replicate} local[{args.low}]->local[{args.high}]: "
+            f"{thr_lo} -> {thr_hi} docs/sec, "
+            f"efficiency {summary['scaling_efficiency']}\n"
         )
-    print(f"wrote {md}", file=sys.stderr)
+    print(f"appended to {md}", file=sys.stderr)
 
 
 if __name__ == "__main__":
