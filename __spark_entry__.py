@@ -224,6 +224,37 @@ def _knn_l2(spark, sf_dir):  # W2 + F12: brute-force exact kNN over embeddings
     )
 
 
+def _word_jaccard_pairs(spark, sf_dir):  # n-gram (word-set) Jaccard near-dup
+    """Exact word-set Jaccard over the SQL-visible candidate pairs (shared
+    40-char prefix) — the n-gram-Jaccard dedup tier expressed entirely in
+    JVM array functions (array_intersect/array_union), DuckDB-twinned."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pfx"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), "pfx", F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), "pfx", F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 5).alias("jaccard"))
+    )
+
+
+def _quality_score(spark, sf_dir):  # text-quality composite (training-data filter)
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    score = F.round(
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * F.when(F.col("n_chars").between(200, 2000), 1.0).otherwise(0.0)
+        + 0.2 * F.when(F.col("text").contains(" the "), 1.0).otherwise(0.0),
+        4,
+    )
+    return d.select("doc_id", score.alias("quality"))
+
+
 def _cosine_near_dup(spark, sf_dir):  # embedding near-dup tier (exact)
     """Canonical vector pairs with cosine similarity >= 0.35 (the fixture's
     ~99.9th percentile; its max pairwise cosine is ~0.51, so a 0.9 cut
@@ -379,6 +410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": _union_distinct,
         "anti_join": _anti_join,
         "knn_l2": _knn_l2,
+        "word_jaccard_pairs": _word_jaccard_pairs,
+        "quality_score": _quality_score,
         "cosine_near_dup": _cosine_near_dup,
         "ann_hyperplane": _ann_hyperplane,  # rows-only; recall pytest-gated
         # dedup engine stages (rows-only; parity-tested against the oracle)
@@ -477,6 +510,27 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "word_jaccard_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                                 list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+                         / len(list_distinct(list_concat(string_split(a.text, ' '),
+                                                         string_split(b.text, ' ')))),
+                         5) AS jaccard
+            FROM documents a JOIN documents b
+              ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+             AND a.doc_id < b.doc_id
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   ROUND(0.5 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+                       + 0.3 * (CASE WHEN n_chars BETWEEN 200 AND 2000
+                                     THEN 1.0 ELSE 0.0 END)
+                       + 0.2 * (CASE WHEN text LIKE '% the %'
+                                     THEN 1.0 ELSE 0.0 END),
+                         4) AS quality
+            FROM documents
         """,
         "cosine_near_dup": """
             SELECT id_a, id_b, cos FROM (
