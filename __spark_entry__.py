@@ -209,18 +209,21 @@ def _knn_l2(spark, sf_dir):  # W2 + F12: brute-force exact kNN over embeddings
             lambda acc, v: acc + v,
         )
     )
-    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    # rank over the UNROUNDED distance (the DuckDB twin orders by exact
+    # list_distance too); round only in the final projection — otherwise two
+    # neighbors <1e-5 apart at the rank-5/6 boundary can swap top-5 membership
+    w = Window.partitionBy("query_id").orderBy("dist_exact", "neighbor_id")
     return (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dist, 5).alias("dist"),
+            dist.alias("dist_exact"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", "dist")
+        .select("query_id", "neighbor_id", F.round("dist_exact", 5).alias("dist"))
     )
 
 

@@ -57,18 +57,17 @@ def main() -> None:
         timings["synth_and_load"] = round(time.monotonic() - t0, 2)
 
         t0 = time.monotonic()
-        run(spark, pages, DEFAULT, wh_root, resume=True)
+        run(spark, pages, DEFAULT, wh_root, run_id="bench-timed", resume=True)
         e2e = time.monotonic() - t0
         timings["dedup_e2e"] = round(e2e, 2)
 
-        # per-stage walls from the pipeline's own metrics
-        from dedup.catalog import Warehouse
-
+        # per-stage walls from the pipeline's own metrics — only rows from
+        # THIS timed run (the metrics log appends across runs/configs)
         wh = Warehouse(wh_root, DEFAULT.config_hash(), "bench")
         seen = set()
         for m in wh.read_metrics():
             key = f"stage_{m['stage']}"
-            if key not in seen:
+            if m.get("run_id") == "bench-timed" and key not in seen:
                 timings[key] = round(m["wall_ms"] / 1000.0, 2)
                 seen.add(key)
 

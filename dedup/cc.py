@@ -103,16 +103,28 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_fp = _fingerprint(edges)
+    converged = prev_fp[0] == 0
     for _ in range(cfg.cc_max_iters):
         if prev_fp[0] == 0:
+            converged = True
             break
         e1 = _large_star(edges, cfg)
         e2 = _small_star(e1, cfg).localCheckpoint(eager=True)
         fp = _fingerprint(e2)
         edges = e2
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        # The groupBy-min labeling below is only a correct partition at the
+        # star fixpoint; applying it to a non-star edge set would silently
+        # return non-transitive cluster ids. O(log n) convergence makes this
+        # unreachable at 50 iters in practice — fail loudly if it ever isn't.
+        raise RuntimeError(
+            f"connected_components did not converge in {cfg.cc_max_iters} "
+            "iterations; raise cfg.cc_max_iters"
+        )
 
     # At the fixpoint the edge set is a star per component: (node, root).
     # The groupBy-min is a no-op then, but guards the max-iters cutoff.

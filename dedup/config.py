@@ -26,6 +26,10 @@ class DedupConfig:
     shingle_k: int = 5          # char k-shingles
     minhash_k: int = 128        # K permutations, h_i(x) = (a_i*x+b_i) mod (2^61-1)
     min_text_len: int = 5       # rows with shorter normalized text are skipped (P2)
+    # P2 language allowlist: None = all languages pass; ("en", ...) keeps
+    # only those rows at stage 1 (rows filtered here never sign/bucket/pair,
+    # matching a production "English-only training set" run)
+    lang_allow: tuple[str, ...] | None = None
 
     # --- stage 2: banding + multi-probe ---------------------------------
     bands: int = 8              # b

@@ -38,11 +38,6 @@ STAGE_ORDER = [
     "canonical_pages",
 ]
 
-#: shuffle-key-aligned layout per table: repartitioning on the next stage's
-#: group/join key at write time means the read side starts co-located.
-_WRITE_PARTITIONING: dict[str, list[str]] = {}
-
-
 @dataclass
 class RunResult:
     warehouse: Warehouse
@@ -125,7 +120,20 @@ def run(
         config_hash=cfg.config_hash(),
         run_id=run_id or uuid.uuid4().hex[:12],
     )
+    if not resume and wh.is_complete("pages"):
+        # Callers (jobs/run_dedup.py, bench.py) pass `pages` read from this
+        # warehouse's own pages table; resume=False would overwrite the path
+        # being read from (Spark error or data loss). A non-resume rerun
+        # needs a fresh warehouse root.
+        raise ValueError(
+            f"resume=False on a warehouse that already has a committed pages "
+            f"table ({warehouse_root}); use a fresh warehouse root"
+        )
     res = RunResult(warehouse=wh)
+
+    def _remember(store: list, out):
+        store.append(out)
+        return out
 
     def do_stage(name: str, build, partition_by=None) -> bool:
         """Returns True if the caller should stop (stop_after hit)."""
@@ -176,16 +184,21 @@ def run(
         cand_out.append(out)
         return out.candidates
 
-    if do_stage("candidate_pairs", build_cands):
-        return res
-    if do_stage(
-        "dropped_buckets",
-        lambda: (
-            cand_out[0].dropped_buckets
-            if cand_out
-            else stages.stage3_candidates(sigs, buckets, cfg).dropped_buckets
-        ),
-    ):
+    stop = do_stage("candidate_pairs", build_cands)
+    if not stop:
+        stop = do_stage(
+            "dropped_buckets",
+            lambda: (
+                cand_out[0].dropped_buckets
+                if cand_out
+                else _remember(cand_out, stages.stage3_candidates(sigs, buckets, cfg)).dropped_buckets
+            ),
+        )
+    # both consumers of the persisted entries relation are materialized (or
+    # skipped) — release the executor memory before the verify/CC stages
+    if cand_out:
+        cand_out[0].entries.unpersist()
+    if stop:
         return res
 
     cands = wh.read(spark, "candidate_pairs")

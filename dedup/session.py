@@ -47,7 +47,7 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Small bins: stage 1/2 are CPU-heavy per byte (~0.7 us/byte of
         # Arrow-UDF work), so 128m file bins would starve the cores on
-        # modest corpora — 8m bins keep every core fed. Production
+        # modest corpora — 4m bins keep every core fed. Production
         # clusters with TB-scale inputs override this via --conf.
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "256k")

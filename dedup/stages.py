@@ -33,8 +33,12 @@ from . import udfs
 # ---------------------------------------------------------------------------
 def stage1_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     """pages -> signatures. P1: only (url, text) crosses into Arrow; html
-    and every other column are pruned at the scan."""
-    narrow = pages.select("url", "text").filter(F.col("text").isNotNull())
+    and every other column are pruned at the scan. P2: the lang allowlist
+    (when set) filters at the scan too — pushed into the parquet reader."""
+    src = pages
+    if cfg.lang_allow is not None:
+        src = src.filter(F.col("lang").isin(*cfg.lang_allow))
+    narrow = src.select("url", "text").filter(F.col("text").isNotNull())
     return narrow.mapInPandas(udfs.make_signatures_fn(cfg), udfs.SIGNATURES_SCHEMA)
 
 
@@ -52,6 +56,8 @@ def stage2_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 class CandidateOut(NamedTuple):
     candidates: DataFrame      # url_a, url_b, sources (comma-joined, sorted)
     dropped_buckets: DataFrame # generator, key, n
+    entries: DataFrame         # persisted intermediate — unpersist() once
+                               # candidates AND dropped_buckets materialized
 
 
 def _simhash_combo_entries(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -185,7 +191,7 @@ def stage3_candidates(
     candidates = pairs.unionByName(sha_pairs).groupBy("url_a", "url_b").agg(
         F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources")
     )
-    return CandidateOut(candidates, dropped)
+    return CandidateOut(candidates, dropped, entries)
 
 
 # ---------------------------------------------------------------------------
