@@ -283,6 +283,23 @@ def _cosine_near_dup(spark, sf_dir):  # embedding near-dup tier (exact)
     )
 
 
+#: fixed-point scale for ANN vector quantization (power of two, so the
+#: float->int mapping is exact and identical in Spark and DuckDB)
+_ANN_Q = 1 << 20
+_ANN_MAX_BUCKET = 1024  # hot-code cap (same count->filter logic in the twin)
+
+
+def _ann_planes(n_bits: int):
+    """Deterministic quantized hyperplanes (seed 42): N(0,1) values scaled
+    by 2^10 and truncated to ints, so the projection sign is an exact
+    integer computation in both Spark and DuckDB (no float-sum-order
+    ambiguity across engines)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return np.floor(rng.standard_normal((n_bits, 64)) * 1024).astype(np.int64)
+
+
 def _ann_hyperplane(spark, sf_dir, n_bits: int = 4):
     """Approximate nearest neighbors at scale: random-hyperplane LSH
     (Charikar sign-random-projection) buckets the embeddings; the query
@@ -290,41 +307,45 @@ def _ann_hyperplane(spark, sf_dir, n_bits: int = 4):
     to the ANN path), so candidates form within probed buckets only — the
     O(n^2) cross join of `knn_l2` becomes a bucket-local join.
 
+    Scale defenses: (a) bucket-local join, never all-pairs; (b) a hot-code
+    cap — codes holding > _ANN_MAX_BUCKET home vectors are dropped from
+    candidate generation (count -> filter -> semi-join, the stage-3
+    pattern), so one dense code can never go quadratic. All arithmetic is
+    JVM-side integer expressions over fixed-point vectors (floor(x*2^20)),
+    which makes the DuckDB twin exact: both engines compute identical
+    codes, identical candidate sets, and identical integer rank keys.
+
     n_bits=4 suits this fixture's diffuse embeddings (true top-5 neighbors
     sit near cosine ~0.5, so each extra plane halves recall); production
     embeddings with tight neighborhoods use 12-16 bits + the same probes.
-    Deterministic planes (seed 42). Rows-only driver check; recall vs
-    brute force is pytest-gated (tests/test_ann.py)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    Recall vs brute force is additionally pytest-gated (tests/test_ann.py)."""
+    planes = _ann_planes(n_bits)
 
-    rng = np.random.default_rng(42)
-    planes = [[float(x) for x in row]
-              for row in rng.standard_normal((n_bits, 64)).astype(np.float32)]
-
-    def code_fn(batches):
-        P = np.asarray(planes, dtype=np.float32)
-        for pdf in batches:
-            emb = np.array(pdf["embedding"].tolist(), dtype=np.float32)
-            bits = (emb @ P.T) > 0
-            code = np.zeros(len(pdf), dtype=np.int64)
-            for i in range(bits.shape[1]):
-                code |= bits[:, i].astype(np.int64) << i
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "code": code,
-                 "embedding": pdf["embedding"]}
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("code", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-        ]
-    )
     e = _t(spark, sf_dir, "embeddings")
-    coded = e.select("vec_id", "embedding").mapInPandas(code_fn, schema)
+    qvec = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * F.lit(float(_ANN_Q)))
+    )
+
+    def idot(a_col, b_col):
+        return F.aggregate(
+            F.zip_with(a_col, b_col, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    code = F.lit(0).cast("long")
+    for i in range(n_bits):
+        plane = F.array(*[F.lit(int(v)) for v in planes[i]])
+        code = code + F.when(idot(F.col("q"), plane) > 0, F.lit(1 << i)).otherwise(0)
+    coded = e.select("vec_id", qvec.alias("q")).select(
+        "vec_id", "q", code.alias("code")
+    )
+    # hot-code cap: drop codes with too many HOME vectors before any join
+    ok_codes = (
+        coded.groupBy("code").count().filter(F.col("count") <= _ANN_MAX_BUCKET)
+        .select("code")
+    )
+    coded = coded.join(ok_codes, "code", "left_semi")
     # multi-probe expansion on the query side: home code + each 1-bit flip
     probe_codes = F.array(
         F.col("code"),
@@ -333,45 +354,61 @@ def _ann_hyperplane(spark, sf_dir, n_bits: int = 4):
     a = coded.select(
         F.explode(probe_codes).alias("code"),
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
+        F.col("q").alias("qa"),
     )
     b = coded.select(
-        F.col("code"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        F.col("code"), F.col("vec_id").alias("id_b"), F.col("q").alias("qb")
     )
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dist = F.sqrt(dot("ea", "ea") - 2 * dot("ea", "eb") + dot("eb", "eb"))
-    w = Window.partitionBy("id_a").orderBy("dist", "neighbor_id")
+    # integer squared distance on the fixed-point vectors: deterministic
+    # rank key (ties broken by neighbor_id); display dist = sqrt(d2)/2^20
+    d2 = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("id_a").orderBy("d2", "neighbor_id")
     return (
         a.join(b, "code")
         .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", F.col("id_b").alias("neighbor_id"), F.round(dist, 5).alias("dist"))
+        .select("id_a", F.col("id_b").alias("neighbor_id"), d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select(F.col("id_a").alias("query_id"), "neighbor_id", "dist")
+        .select(
+            F.col("id_a").alias("query_id"),
+            "neighbor_id",
+            F.round(F.sqrt(F.col("d2")) / F.lit(float(_ANN_Q)), 5).alias("dist"),
+        )
     )
 
 
 # ---------------------------------------------------------------------------
-# dedup-pipeline queries (non-SQL-expressible -> rows-only driver check;
-# real gate = oracle-parity pytest)
+# dedup-pipeline queries. Each is twinned against DuckDB SQL over the NumPy
+# oracle's materialized stage tables (dedup/contract_oracle.py):
+# stage-1/2 kernels are checked Spark-vs-NumPy (independent implementations),
+# stage-3..6 transforms are re-stated in SQL over the oracle's upstream
+# tables. The pytest parity suite remains the bit-for-bit gate.
 # ---------------------------------------------------------------------------
 _PIPELINE_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _xor_fold(col):
+    """Order-insensitive 64-bit content fingerprint of an array<long> —
+    pins the full minhash/runnerup vectors without relying on how the
+    driver hashes array-typed result columns."""
+    return F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x))
 
 
 def _dedup_stage(table: str):
     def f(spark, sf_dir):
         from dedup.config import DEFAULT
+        from dedup.contract_oracle import ensure_cache
         from dedup.pipeline import run_in_memory
         from dedup.stages import cluster_report
         from dedup.synth import load_pages_spark
 
+        # materialize the NumPy oracle's stage tables for this sf so the
+        # DuckDB twin (oracle_sql) can read them when the driver runs it
+        ensure_cache(sf_dir, DEFAULT)
         # one pipeline build per (session, sf_dir): the driver calls each
         # dedup_* query separately; the cached stage DataFrames
         # (signatures/candidates/verified are .cache()d inside
@@ -387,7 +424,29 @@ def _dedup_stage(table: str):
             return cluster_report(out["clusters"])
         df = out[table]
         if table == "signatures":
-            df = df.select("url", "simhash", "n_shingles", "n_tokens", "text_sha")
+            df = df.select(
+                "url",
+                "simhash",
+                F.col("n_shingles").cast("long").alias("n_shingles"),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                "text_sha",
+                _xor_fold(F.col("minhash")).alias("mh_x"),
+                _xor_fold(F.col("runnerup")).alias("ru_x"),
+                F.size("fingerprints").cast("long").alias("n_fp"),
+            )
+        elif table == "buckets":
+            df = df.select(
+                F.col("band").cast("long").alias("band"),
+                "bucket_key",
+                "url",
+                "is_probe",
+                F.col("probe_rank").cast("long").alias("probe_rank"),
+            )
+        elif table == "verified_pairs":
+            df = df.select(
+                "url_a", "url_b", "jaccard", "hamming",
+                "sha_equal", "substr_ok", "is_dup", "sources",
+            )
         elif table == "canonical_pages":
             df = df.select("url", "cluster_id", "is_canonical")
         return df
@@ -416,8 +475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_jaccard_pairs": _word_jaccard_pairs,
         "quality_score": _quality_score,
         "cosine_near_dup": _cosine_near_dup,
-        "ann_hyperplane": _ann_hyperplane,  # rows-only; recall pytest-gated
-        # dedup engine stages (rows-only; parity-tested against the oracle)
+        "ann_hyperplane": _ann_hyperplane,  # SQL-twinned; recall pytest-gated too
+        # dedup engine stages — each SQL-twinned against the NumPy oracle's
+        # materialized tables / a DuckDB restatement of the stage transform
+        # (see _dedup_twin_sql); ALSO bit-for-bit parity-tested in pytest
         "dedup_signatures": _dedup_stage("signatures"),
         "dedup_buckets": _dedup_stage("buckets"),
         "dedup_candidates": _dedup_stage("candidate_pairs"),
@@ -428,8 +489,221 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _ann_twin_sql(n_bits: int = 4) -> str:
+    """DuckDB twin of `_ann_hyperplane`: identical fixed-point codes, the
+    same hot-code cap, Hamming-1 probe expansion, and the same integer
+    rank key — exact because every step is integer arithmetic."""
+    planes = _ann_planes(n_bits)
+    dots = []
+    for i in range(n_bits):
+        lits = "[" + ", ".join(str(int(v)) for v in planes[i]) + "]"
+        dots.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(q, {lits}), "
+            f"x -> x[1]*x[2])) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    code_expr = "\n                 + ".join(dots)
+    probe_list = ", ".join(
+        ["code"] + [f"xor(code, {1 << i})" for i in range(n_bits)]
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {float(_ANN_Q)}) AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        coded0 AS (
+          SELECT vec_id, q,
+                 {code_expr} AS code
+          FROM e
+        ),
+        ok AS (SELECT code FROM coded0 GROUP BY code
+               HAVING count(*) <= {_ANN_MAX_BUCKET}),
+        coded AS (SELECT * FROM coded0 WHERE code IN (SELECT code FROM ok)),
+        probes AS (
+          SELECT vec_id AS id_a, q AS qa,
+                 unnest([{probe_list}]) AS code
+          FROM coded
+        ),
+        cand AS (
+          SELECT p.id_a, c.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(list_zip(p.qa, c.q),
+                      x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS d2
+          FROM probes p JOIN coded c USING (code)
+          WHERE p.id_a <> c.vec_id
+        )
+        SELECT id_a AS query_id, neighbor_id,
+               round(sqrt(CAST(d2 AS DOUBLE)) / {float(_ANN_Q)}, 5) AS dist
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                           ORDER BY d2, neighbor_id) AS rn
+              FROM cand)
+        WHERE rn <= 5
+    """
+
+
+def _dedup_twin_sql(cache: str) -> dict[str, str]:
+    """DuckDB twins for the dedup-stage queries, over the NumPy oracle's
+    materialized tables in `cache` (see dedup/contract_oracle.py for why
+    this layering is an independent check and not self-comparison)."""
+    import itertools
+
+    from dedup.config import DEFAULT as _CFG
+
+    p = f"{cache}/pages.parquet"
+    sig = f"{cache}/signatures.parquet"
+    buk = f"{cache}/buckets.parquet"
+    cand = f"{cache}/candidates.parquet"
+    ver = f"{cache}/verified.parquet"
+    clu = f"{cache}/clusters.parquet"
+    k = _CFG.minhash_k
+    tau = _CFG.jaccard_tau
+    radius = _CFG.hamming_radius
+    max_bucket = _CFG.max_bucket
+
+    # simhash combination-blocking keys as plain bit arithmetic: arithmetic
+    # shift + mask extracts the same bits as Spark's shiftrightunsigned+AND
+    # for every block (each block's bits lie within the masked width)
+    widths = _CFG.simhash_block_widths
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
+    combo_selects = []
+    for cid, idxs in enumerate(
+        itertools.combinations(range(_CFG.pigeonhole_blocks), _CFG.pigeonhole_combo)
+    ):
+        key = "CAST(0 AS BIGINT)"
+        for i in idxs:
+            blk = f"((simhash >> {offsets[i]}) & {(1 << widths[i]) - 1})"
+            key = f"({key} * {1 << widths[i]} + {blk})"
+        combo_selects.append(
+            f"SELECT 'simhash' AS gen, CAST({cid} AS BIGINT) AS k1, "
+            f"{key} AS k2, url, false AS is_probe FROM sig"
+        )
+    sim_sql = "\n              UNION ALL ".join(combo_selects)
+
+    cheap = f"(sha_equal OR jaccard >= {tau} OR hamming <= {radius})"
     return {
+        "dedup_signatures": f"""
+            SELECT url, simhash, CAST(n_shingles AS BIGINT) AS n_shingles,
+                   CAST(n_tokens AS BIGINT) AS n_tokens, text_sha,
+                   list_aggregate(minhash, 'bit_xor') AS mh_x,
+                   list_aggregate(runnerup, 'bit_xor') AS ru_x,
+                   CAST(len(fingerprints) AS BIGINT) AS n_fp
+            FROM read_parquet('{sig}')
+        """,
+        "dedup_buckets": f"""
+            SELECT CAST(band AS BIGINT) AS band, bucket_key, url, is_probe,
+                   CAST(probe_rank AS BIGINT) AS probe_rank
+            FROM read_parquet('{buk}')
+        """,
+        "dedup_candidates": f"""
+            WITH sig AS (SELECT * FROM read_parquet('{sig}')),
+            lsh_entries AS (
+              SELECT 'lsh' AS gen, CAST(band AS BIGINT) AS k1, bucket_key AS k2,
+                     url, min(is_probe) AS is_probe
+              FROM read_parquet('{buk}')
+              GROUP BY band, bucket_key, url
+            ),
+            sim_entries AS ({sim_sql}),
+            fp_entries AS (
+              SELECT 'winnow' AS gen, CAST(0 AS BIGINT) AS k1,
+                     unnest(fingerprints) AS k2, url, false AS is_probe
+              FROM sig
+            ),
+            entries AS (
+              SELECT * FROM lsh_entries UNION ALL
+              SELECT * FROM sim_entries UNION ALL
+              SELECT * FROM fp_entries
+            ),
+            ok AS (
+              SELECT gen, k1, k2 FROM entries GROUP BY gen, k1, k2
+              HAVING count(*) BETWEEN 2 AND {max_bucket}
+            ),
+            bucket_pairs AS (
+              SELECT e1.url AS url_a, e2.url AS url_b, e1.gen AS source
+              FROM entries e1
+              JOIN entries e2 ON e1.gen = e2.gen AND e1.k1 = e2.k1
+                             AND e1.k2 = e2.k2 AND e1.url < e2.url
+              JOIN ok ON ok.gen = e1.gen AND ok.k1 = e1.k1 AND ok.k2 = e1.k2
+              WHERE NOT (e1.is_probe AND e2.is_probe)
+            ),
+            sha_roots AS (
+              SELECT text_sha, min(url) AS url_a FROM sig
+              GROUP BY text_sha HAVING count(*) >= 2
+            ),
+            sha_pairs AS (
+              SELECT r.url_a, s.url AS url_b, 'sha' AS source
+              FROM sig s JOIN sha_roots r USING (text_sha)
+              WHERE s.url <> r.url_a
+            )
+            SELECT url_a, url_b,
+                   string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+            FROM (SELECT * FROM bucket_pairs UNION ALL SELECT * FROM sha_pairs)
+            GROUP BY url_a, url_b
+        """,
+        "dedup_verified": f"""
+            WITH sig AS (SELECT url, minhash, simhash, text_sha
+                         FROM read_parquet('{sig}')),
+            base AS (
+              SELECT c.url_a, c.url_b, c.sources,
+                     CAST(len(list_filter(list_zip(sa.minhash, sb.minhash),
+                                          x -> x[1] = x[2])) AS DOUBLE)
+                         / {k}.0 AS jaccard,
+                     CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+                         AS hamming,
+                     (sa.text_sha = sb.text_sha) AS sha_equal,
+                     coalesce(v.substr_ok, false) AS substr_raw
+              FROM read_parquet('{cand}') c
+              JOIN sig sa ON sa.url = c.url_a
+              JOIN sig sb ON sb.url = c.url_b
+              LEFT JOIN read_parquet('{ver}') v
+                     ON v.url_a = c.url_a AND v.url_b = c.url_b
+            )
+            SELECT url_a, url_b, jaccard, hamming, sha_equal,
+                   (substr_raw AND NOT {cheap}) AS substr_ok,
+                   ({cheap} OR substr_raw) AS is_dup,
+                   sources
+            FROM base
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            dup AS (SELECT url_a, url_b FROM read_parquet('{ver}') WHERE is_dup),
+            sym AS (SELECT url_a AS u, url_b AS v FROM dup
+                    UNION SELECT url_b, url_a FROM dup),
+            reach(u, r) AS (
+              SELECT url, url FROM read_parquet('{p}')
+              UNION
+              SELECT reach.u, sym.v FROM reach JOIN sym ON reach.r = sym.u
+            )
+            SELECT u AS url, min(r) AS cluster_id FROM reach GROUP BY u
+        """,
+        "dedup_canonical": f"""
+            SELECT url, cluster_id, (rn = 1) AS is_canonical FROM (
+              SELECT p.url, c.cluster_id,
+                     ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY p.warc_ts, p.url) AS rn
+              FROM read_parquet('{p}') p
+              JOIN read_parquet('{clu}') c USING (url)
+            )
+        """,
+        "dedup_report": f"""
+            SELECT CAST(size AS BIGINT) AS size, count(*) AS n_clusters FROM (
+              SELECT cluster_id, count(*) AS size
+              FROM read_parquet('{clu}') GROUP BY cluster_id
+            ) GROUP BY size
+        """,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    import os as _os
+
+    # the driver runs correctness at sf0.01; the dedup twins read the NumPy
+    # oracle's materialized tables for that sf (written eagerly by every
+    # dedup_* queries() entry via dedup.contract_oracle.ensure_cache)
+    _cache01 = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), ".oracle_cache", "sf0.01"
+    )
+    return {**_dedup_twin_sql(_cache01),
+        "ann_hyperplane": _ann_twin_sql(),
         "scan_filter_project": """
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars >= 200 AND lang = 'en'

@@ -59,9 +59,13 @@ def test_sql_twinned_query(spark, ddb, name):
 
 
 @pytest.mark.parametrize(
-    "name", [k for k in ALL_KEYS if k not in SQL_KEYS and k == "dedup_clusters"]
+    "name", [k for k in ALL_KEYS if k not in SQL_KEYS] or ["<none>"]
 )
 def test_rows_only_query(spark, name):
+    """Entries without a SQL twin (genuinely non-SQL-expressible ops) get
+    the driver's weaker rows>=0 + stable-schema check."""
+    if name == "<none>":
+        pytest.skip("every queries() entry currently has a SQL twin")
     df = entry_mod.queries()[name](spark, "/root/testdata/sf0.001")
     assert df.count() > 0
     assert len(df.schema.fields) >= 2
