@@ -381,6 +381,20 @@ def _ann_hyperplane(spark, sf_dir, n_bits: int = 4):
     )
 
 
+def _mplsh_knn(spark, sf_dir):
+    """Classic p-stable multi-probe LSH k-NN ([E2LSH] keys + [MPLSH §3-4]
+    query-directed probing) — the reference's literal algorithm
+    (/root/reference/README.md:1) over the embeddings fixture. Probe-set
+    enumeration is a per-query heap (not SQL-expressible), so this entry
+    has no DuckDB twin; its gates are tests/test_mplsh.py: exact candidate
+    parity vs the single-process NumPy reference search + recall >= 0.9
+    @ T=16 vs brute force."""
+    from dedup.mplsh import MplshConfig, mplsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mplsh_topk(e, MplshConfig(), k=5, query_filter=F.col("vec_id") < 5)
+
+
 # ---------------------------------------------------------------------------
 # dedup-pipeline queries. Each is twinned against DuckDB SQL over the NumPy
 # oracle's materialized stage tables (dedup/contract_oracle.py):
@@ -476,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality_score,
         "cosine_near_dup": _cosine_near_dup,
         "ann_hyperplane": _ann_hyperplane,  # SQL-twinned; recall pytest-gated too
+        "mplsh_knn": _mplsh_knn,  # no SQL twin (probe heap); pytest-gated
         # dedup engine stages — each SQL-twinned against the NumPy oracle's
         # materialized tables / a DuckDB restatement of the stage transform
         # (see _dedup_twin_sql); ALSO bit-for-bit parity-tested in pytest
