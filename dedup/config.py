@@ -24,7 +24,13 @@ class DedupConfig:
     # normalization: unicode lower + collapse whitespace, applied to a COPY
     # of `text` only (byte-identity invariant, BASELINE.json:15)
     shingle_k: int = 5          # char k-shingles
-    minhash_k: int = 128        # K permutations, h_i(x) = (a_i*x+b_i) mod (2^61-1)
+    minhash_k: int = 128        # K signature slots
+    # MinHash scheme: "oph" = one-permutation hashing + rotation
+    # densification (O(n) per doc — the scale path; see
+    # hashing.oph_minhash_with_runnerup); "kxu" = classic K universal
+    # hashes h_i(x) = (a_i*x+b_i) mod (2^61-1) (O(n*K), kept for
+    # comparison tests and as the literature baseline)
+    minhash_scheme: str = "oph"
     min_text_len: int = 5       # rows with shorter normalized text are skipped (P2)
     # P2 language allowlist: None = all languages pass; ("en", ...) keeps
     # only those rows at stage 1 (rows filtered here never sign/bucket/pair,
@@ -77,6 +83,12 @@ class DedupConfig:
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.minhash_k:
             raise ValueError("bands * rows_per_band must equal minhash_k")
+        if self.minhash_scheme not in ("oph", "kxu"):
+            raise ValueError(f"unknown minhash_scheme {self.minhash_scheme!r}")
+        if self.minhash_scheme == "oph" and (
+            self.minhash_k & (self.minhash_k - 1)
+        ):
+            raise ValueError("minhash_scheme='oph' requires power-of-two minhash_k")
         if self.winnow_window + self.gram_k - 1 != self.min_substr:
             raise ValueError("winnowing guarantee t = w + k - 1 must equal min_substr")
         if self.hamming_radius > self.pigeonhole_blocks - self.pigeonhole_combo:
@@ -106,3 +118,7 @@ DEFAULT = DedupConfig()
 
 #: Plain-banding control (M1/M3 comparison): 16 bands × 8 rows, no probes.
 BANDING16 = DedupConfig(bands=16, rows_per_band=8, probes=1)
+
+#: Classic K-universal-hash MinHash (the literature baseline; O(n*K) per
+#: doc). Used by comparison tests; the scale path is DEFAULT's "oph".
+CLASSIC = DedupConfig(minhash_scheme="kxu")

@@ -41,7 +41,12 @@ def doc_features(
     shingles = H.char_shingles(norm, cfg.shingle_k)
     if shingles.size == 0:
         return None
-    minh, runner = H.minhash_with_runnerup(shingles, a, b)
+    if cfg.minhash_scheme == "oph":
+        minh, runner = H.oph_minhash_with_runnerup(
+            shingles, cfg.minhash_k, a[0], b[0]
+        )
+    else:
+        minh, runner = H.minhash_with_runnerup(shingles, a, b)
     tokens = norm.split(b" ")
     sim = H.simhash64(H.fnv1a64_tokens(tokens))
     fps = H.winnow_fingerprints(norm, cfg.gram_k, cfg.winnow_window)

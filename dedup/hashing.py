@@ -201,6 +201,59 @@ def minhash_with_runnerup(
     return two[0], two[1]
 
 
+def oph_minhash_with_runnerup(
+    shingles: np.ndarray, k: int, a0: np.uint64, b0: np.uint64
+) -> tuple[np.ndarray, np.ndarray]:
+    """One-permutation MinHash signature + runner-up per bin.
+
+    One universal hash h(x) = (a0*x + b0) mod (2^61 - 1) over all shingles
+    (Li, Owen, Zhang, "One Permutation Hashing", NIPS 2012); the hash
+    space is split into k bins by the top bits (k must be a power of two);
+    slot j = min hash in bin j, runner-up = second min (gap 0 when the bin
+    has < 2 values, so multi-probe never perturbs it — same convention as
+    the K-hash scheme). Empty bins are filled by rotation densification
+    (Shrivastava & Li, ICML 2014): borrow the next non-empty bin to the
+    right (circular) offset by distance*FNV_PRIME (wrapping uint64), so
+    two docs agree on a densified slot iff they agree on the borrowed bin
+    AND the distance — keeping the equal-slot estimator unbiased.
+
+    O(n + n log n) per doc versus O(n*K) for the classic scheme — the
+    round-1 stage-1 bottleneck (VERDICT r1, perf item; docs/SCALE.md).
+    """
+    x = mod61(np.asarray(shingles, dtype=np.uint64))
+    h = mod61(mulmod61(np.full(x.shape, a0, dtype=np.uint64), x) + np.uint64(b0))
+    log2k = k.bit_length() - 1
+    if (1 << log2k) != k:
+        raise ValueError("one-permutation hashing requires power-of-two k")
+    bins = (h >> np.uint64(61 - log2k)).astype(np.int64)  # 0..k-1
+    order = np.lexsort((h, bins))
+    hb, bb = h[order], bins[order]
+    first = np.ones(hb.size, dtype=bool)
+    first[1:] = bb[1:] != bb[:-1]
+    fi = np.nonzero(first)[0]
+    occ_bins = bb[fi]                      # sorted ascending, unique
+    minv = hb[fi]
+    si = np.minimum(fi + 1, hb.size - 1)
+    has2 = (fi + 1 < hb.size) & (bb[si] == occ_bins)
+    runv = np.where(has2, hb[si], minv)
+    minh = np.zeros(k, dtype=np.uint64)
+    runner = np.zeros(k, dtype=np.uint64)
+    filled = np.zeros(k, dtype=bool)
+    minh[occ_bins] = minv
+    runner[occ_bins] = runv
+    filled[occ_bins] = True
+    if not filled.all():
+        empty = np.nonzero(~filled)[0]
+        pos = np.searchsorted(occ_bins, empty)
+        wrap = pos == occ_bins.size
+        nxt = occ_bins[np.where(wrap, 0, np.minimum(pos, occ_bins.size - 1))]
+        dist = np.where(wrap, nxt + k - empty, nxt - empty).astype(np.uint64)
+        dval = minh[nxt] + dist * FNV_PRIME  # wrapping uint64 on purpose
+        minh[empty] = dval
+        runner[empty] = dval  # gap 0: densified slots are never perturbed
+    return minh, runner
+
+
 # ---------------------------------------------------------------------------
 # band keys (F5): FNV-1a over band index + r signature slots (LE bytes)
 # ---------------------------------------------------------------------------

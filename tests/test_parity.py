@@ -131,7 +131,10 @@ def test_medium_tier_candidate_recall(run):
     hits = sum(
         1 for a, b in med[["url_a", "url_b"]].values.tolist() if (a, b) in cand
     )
-    assert hits / len(med) >= 0.5
+    # measured 1.0 at sf0.001 and sf0.01 under the OPH scheme; the gate
+    # leaves headroom for fixture evolution but demonstrates the
+    # multi-probe recall claim far above coin-flip (was 0.5 in round 1)
+    assert hits / len(med) >= 0.9
 
 
 def test_byte_identity_invariant(run):
