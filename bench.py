@@ -43,15 +43,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     wh_root = tempfile.mkdtemp(prefix="dedup_bench_wh_")
     try:
-        # untimed prep: synthesize + snapshot the input corpus (64-way
+        # untimed prep: synthesize + snapshot the input corpus (byte-scaled
         # layout), mirroring jobs/run_dedup.py — the production input is a
         # table that already exists; synthesis is not dedup throughput
         from dedup.catalog import Warehouse
 
+        from dedup.synth import corpus_nbytes, make_corpus, snapshot_partitions
+
         t0 = time.monotonic()
         wh0 = Warehouse(wh_root, DEFAULT.config_hash(), "bench")
         pages_in = load_pages_spark(spark, args.sf_dir, replicate=args.replicate)
-        wh0.write(pages_in.repartition(64), "pages")
+        n_parts = snapshot_partitions(
+            corpus_nbytes(make_corpus(args.sf_dir)) * args.replicate
+        )
+        wh0.write(pages_in.repartition(n_parts), "pages")
         pages = wh0.read(spark, "pages")
         n_docs = pages.count()
         timings["synth_and_load"] = round(time.monotonic() - t0, 2)

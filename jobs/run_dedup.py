@@ -53,11 +53,16 @@ def main() -> None:
 
         wh = Warehouse(args.warehouse, cfg.config_hash(), args.resume_run_id or "prep")
         if not wh.is_complete("pages"):
+            from dedup.synth import corpus_nbytes, make_corpus, snapshot_partitions
+
             pages = load_pages_spark(spark, args.input, replicate=args.replicate)
-            # Fixed 64-way layout: the snapshot's file count sets the map-side
-            # parallelism of every downstream stage (mapInPandas inherits scan
-            # partitions), and must not depend on which cluster size wrote it.
-            wh.write(pages.repartition(64), "pages")
+            # Snapshot layout scales with input BYTES (8 MB target files),
+            # not a fixed file count, and stays independent of which
+            # cluster size wrote it (reproducible layout).
+            n_parts = snapshot_partitions(
+                corpus_nbytes(make_corpus(args.input)) * args.replicate
+            )
+            wh.write(pages.repartition(n_parts), "pages")
         pages = wh.read(spark, "pages")
         n_docs = pages.count()
 
