@@ -381,6 +381,110 @@ def _ann_hyperplane(spark, sf_dir, n_bits: int = 4):
     )
 
 
+#: language -> marker substrings for the stopword-argmax classifier
+#: (langid F-row upgrade: a real per-doc classifier over the fixture's five
+#: languages, not just an 'en' ratio). Shared by the Spark and DuckDB sides.
+_LANG_MARKERS = [
+    ("en", [" the ", " and "]),
+    ("de", [" der ", " und ", " die "]),
+    ("es", [" el ", " los ", " y "]),
+    ("fr", [" le ", " et ", " les "]),
+    ("zh", ["的", "是"]),
+]
+
+
+def _langid_score(spark, sf_dir):
+    """Per-doc language prediction: occurrence-count argmax over per-
+    language stopword markers, deterministic tie-break by marker-list
+    order, 'unknown' when no marker fires. All JVM string expressions."""
+    d = _t(spark, sf_dir, "documents")
+
+    def occ(marker: str):
+        rep = F.expr(f"replace(lower(text), '{marker}', '')")
+        return (
+            (F.length(F.lower(F.col("text"))) - F.length(rep)) / F.lit(len(marker))
+        ).cast("long")
+
+    counts = {
+        lang: sum((occ(m) for m in markers), F.lit(0).cast("long"))
+        for lang, markers in _LANG_MARKERS
+    }
+    total = sum((c for c in counts.values()), F.lit(0).cast("long"))
+    pred = F.when(total == 0, F.lit("unknown"))
+    langs = [lang for lang, _ in _LANG_MARKERS]
+    for i, lang in enumerate(langs):
+        cond = F.lit(True)
+        for other in langs:
+            if other != lang:
+                cond = cond & (counts[lang] >= counts[other])
+        pred = pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def _langid_twin_sql() -> str:
+    def occ(m):
+        return (
+            f"CAST((len(lower(text)) - len(replace(lower(text), '{m}', '')))"
+            f" / {len(m)} AS BIGINT)"
+        )
+
+    cexprs = {
+        lang: " + ".join(occ(m) for m in markers)
+        for lang, markers in _LANG_MARKERS
+    }
+    langs = [lang for lang, _ in _LANG_MARKERS]
+    sel = ", ".join(f"({cexprs[lang]}) AS c_{lang}" for lang in langs)
+    total = " + ".join(f"c_{lang}" for lang in langs)
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"c_{lang} >= c_{o}" for o in langs if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    chain = "\n                 ".join(whens)
+    return f"""
+        SELECT doc_id, lang,
+               CASE WHEN ({total}) = 0 THEN 'unknown'
+                 {chain}
+                 ELSE '{langs[-1]}' END AS pred_lang
+        FROM (SELECT doc_id, lang, {sel} FROM documents)
+    """
+
+
+def _html_stats(spark, sf_dir):
+    """Multimodal binary-column stats over the synthesized pages corpus:
+    byte length + magic-prefix detection on the opaque `html` payload,
+    all JVM expressions (binary length is byte length)."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+
+    cache = ensure_cache(sf_dir, DEFAULT)
+    pages = spark.read.parquet(f"{cache}/pages.parquet")
+    is_html = F.substring(F.col("html").cast("string"), 1, 6) == "<html>"
+    return pages.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("html")).cast("long").alias("total_bytes"),
+        F.sum(F.when(is_html, 1).otherwise(0)).cast("long").alias("n_html"),
+    )
+
+
+def _modality_features(spark, sf_dir):
+    """Typed metadata extraction from the opaque binary payload via an
+    Arrow-batched mapInPandas UDF (dedup/modality.py): byte length,
+    Shannon entropy, magic sniff, and deterministic fake decode dims (the
+    real decoder is stubbed — no codec libs in this environment). Entropy
+    is not SQL-expressible over blobs, so this entry is rows-only; its
+    exact gate is tests/test_modality.py vs the NumPy reference."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+    from dedup.modality import modality_features
+
+    cache = ensure_cache(sf_dir, DEFAULT)
+    pages = spark.read.parquet(f"{cache}/pages.parquet")
+    return modality_features(pages)
+
+
 def _mplsh_knn(spark, sf_dir):
     """Classic p-stable multi-probe LSH k-NN ([E2LSH] keys + [MPLSH §3-4]
     query-directed probing) — the reference's literal algorithm
@@ -491,6 +595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": _cosine_near_dup,
         "ann_hyperplane": _ann_hyperplane,  # SQL-twinned; recall pytest-gated too
         "mplsh_knn": _mplsh_knn,  # no SQL twin (probe heap); pytest-gated
+        "langid_score": _langid_score,
+        "html_stats": _html_stats,
+        "modality_features": _modality_features,  # no SQL twin (entropy); pytest-gated
         # dedup engine stages — each SQL-twinned against the NumPy oracle's
         # materialized tables / a DuckDB restatement of the stage transform
         # (see _dedup_twin_sql); ALSO bit-for-bit parity-tested in pytest
@@ -719,6 +826,14 @@ def oracle_sql() -> dict[str, str]:
     )
     return {**_dedup_twin_sql(_cache01),
         "ann_hyperplane": _ann_twin_sql(),
+        "langid_score": _langid_twin_sql(),
+        "html_stats": f"""
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes,
+                   CAST(SUM(CASE WHEN starts_with(CAST(html AS VARCHAR), '<html>')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_html
+            FROM read_parquet('{_cache01}/pages.parquet') GROUP BY lang
+        """,
         "scan_filter_project": """
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars >= 200 AND lang = 'en'

@@ -11,7 +11,7 @@ Layout (SURVEY.md §7.1):
     oracle.py   — single-process reference implementation (parity anchor)
     synth.py    — deterministic `pages` corpus generator + ground truth
     session.py  — SparkSession builder
-    catalog.py  — parquet/Iceberg table IO + checkpoint manifests
+    catalog.py  — parquet table IO + atomic checkpoint manifests
     udfs.py     — vectorized pandas/Arrow UDF wrappers around the kernels
     stages.py   — the six pipeline stages as DataFrame transforms
     cc.py       — large-star/small-star connected components

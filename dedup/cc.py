@@ -74,18 +74,25 @@ def _small_star(edges: DataFrame, cfg: DedupConfig) -> DataFrame:
     return out1.union(out2).where(F.col("u") != F.col("v")).distinct()
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """Order-insensitive (count, xor-fold hash) fingerprint of the canonical
-    edge set — one pass, map-side combinable (edges are distinct, so XOR
-    cancellation of duplicates cannot occur)."""
-    canon = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    )
-    row = canon.agg(
-        F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-    ).collect()[0]
-    return int(row["n"] or 0), int(row["h"] or 0)
+def _checkpoint_with_fingerprint(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """localCheckpoint(eager) the edge set AND compute its order-
+    insensitive (count, xor-fold) fingerprint in the SAME action via an
+    Observation — one job per iteration instead of two (checkpoint +
+    collect), halving the serial chain of the CC loop. Edges are distinct,
+    so XOR cancellation of duplicates cannot occur; greatest/least inside
+    xxhash64 canonicalizes direction."""
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"cc_fp_{_uuid.uuid4().hex[:8]}")
+    out = edges.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(greatest(u, v), least(u, v)))").alias("h"),
+    ).localCheckpoint(eager=True)
+    got = obs.get
+    return out, (int(got["n"] or 0), int(got["h"] or 0))
 
 
 def connected_components(
@@ -96,22 +103,18 @@ def connected_components(
     Every input url appears in the output; singletons map to themselves
     (oracle parity: oracle.py seeds union-find with every page url).
     """
-    edges = (
+    edges, prev_fp = _checkpoint_with_fingerprint(
         dup_pairs.select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    prev_fp = _fingerprint(edges)
     converged = prev_fp[0] == 0
     for _ in range(cfg.cc_max_iters):
         if prev_fp[0] == 0:
             converged = True
             break
         e1 = _large_star(edges, cfg)
-        e2 = _small_star(e1, cfg).localCheckpoint(eager=True)
-        fp = _fingerprint(e2)
-        edges = e2
+        edges, fp = _checkpoint_with_fingerprint(_small_star(e1, cfg))
         if fp == prev_fp:
             converged = True
             break

@@ -23,7 +23,12 @@ class DedupConfig:
     # --- stage 1: signatures -------------------------------------------
     # normalization: unicode lower + collapse whitespace, applied to a COPY
     # of `text` only (byte-identity invariant, BASELINE.json:15)
-    shingle_k: int = 5          # char k-shingles
+    shingle_k: int = 5          # char k-shingles (shingle_mode="char")
+    # F2 shingle granularity: "char" (k-byte shingles of the normalized
+    # text) or "word" (word_w-token shingles — coarser, punishes word
+    # edits harder; parity-tested in both modes)
+    shingle_mode: str = "char"
+    word_w: int = 3             # tokens per shingle in word mode
     minhash_k: int = 128        # K signature slots
     # MinHash scheme: "oph" = one-permutation hashing + rotation
     # densification (O(n) per doc — the scale path; see
@@ -85,6 +90,8 @@ class DedupConfig:
             raise ValueError("bands * rows_per_band must equal minhash_k")
         if self.minhash_scheme not in ("oph", "kxu"):
             raise ValueError(f"unknown minhash_scheme {self.minhash_scheme!r}")
+        if self.shingle_mode not in ("char", "word"):
+            raise ValueError(f"unknown shingle_mode {self.shingle_mode!r}")
         if self.minhash_scheme == "oph" and (
             self.minhash_k & (self.minhash_k - 1)
         ):

@@ -38,7 +38,10 @@ def doc_features(
     norm = H.normalize(text)
     if len(norm) < cfg.min_text_len:
         return None
-    shingles = H.char_shingles(norm, cfg.shingle_k)
+    if cfg.shingle_mode == "word":
+        shingles = H.word_shingles(norm, cfg.word_w)
+    else:
+        shingles = H.char_shingles(norm, cfg.shingle_k)
     if shingles.size == 0:
         return None
     if cfg.minhash_scheme == "oph":

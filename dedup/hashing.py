@@ -149,6 +149,25 @@ def char_shingles(norm: bytes, k: int) -> np.ndarray:
     return np.unique(fnv1a64_windows(buf, k))
 
 
+def word_shingles(norm: bytes, w: int) -> np.ndarray:
+    """Distinct hashes of the w-word shingles of a normalized document
+    (F2 word mode, SURVEY.md §7.0). Each token is FNV-1a hashed once,
+    then each w-token window folds the token hashes through one more
+    vectorized FNV pass — O(tokens) total. Documents shorter than one
+    window hash the whole token sequence (never empty for nonempty text).
+    Sorted unique (set semantics)."""
+    tokens = norm.split(b" ")
+    th = fnv1a64_tokens([t for t in tokens if t])
+    if th.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    win = min(w, th.size)
+    n = th.size - win + 1
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    for j in range(win):
+        h = _fnv_absorb_u64(h, th[j : j + n])
+    return np.unique(h)
+
+
 def _hash_matrix(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """H[i, j] = (a_j * x_i + b_j) mod M61 for x (n,), a/b (K,) -> (n, K).
 

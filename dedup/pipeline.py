@@ -218,10 +218,11 @@ def run(
                 else _remember(cand_out, stages.stage3_candidates(sigs, buckets, cfg)).dropped_buckets
             ),
         )
-    # both consumers of the persisted entries relation are materialized (or
-    # skipped) — release the executor memory before the verify/CC stages
+    # both consumers of the persisted entries/counts relations are
+    # materialized (or skipped) — release executor memory before verify/CC
     if cand_out:
         cand_out[0].entries.unpersist()
+        cand_out[0].counts.unpersist()
     if stop:
         return _finish()
 

@@ -12,6 +12,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _scratch_dir() -> str:
+    """tmpfs scratch for shuffle files when present, else the default."""
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return os.environ["SPARK_LOCAL_DIRS"]
+    shm = "/dev/shm/spark-local"
+    if os.path.isdir("/dev/shm"):
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    return os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark-local")
+
+
 def build_session(
     app_name: str = "dedup",
     master: str | None = None,
@@ -55,6 +66,12 @@ def build_session(
         # count: target smaller post-shuffle partitions on small corpora
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shuffle/spill scratch on tmpfs when available: this host's /tmp
+        # is disk-backed; RAM is 128 GiB and shuffle state for the bench
+        # corpora is a few GiB, so tmpfs removes disk IO contention from
+        # the multi-worker legs (a cluster uses local NVMe for the same
+        # reason). Override with SPARK_LOCAL_DIRS for bigger-than-RAM runs.
+        .config("spark.local.dir", _scratch_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -56,8 +56,8 @@ def stage2_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 class CandidateOut(NamedTuple):
     candidates: DataFrame      # url_a, url_b, sources (comma-joined, sorted)
     dropped_buckets: DataFrame # generator, key, n
-    entries: DataFrame         # persisted intermediate — unpersist() once
-                               # candidates AND dropped_buckets materialized
+    entries: DataFrame         # persisted intermediates — unpersist() once
+    counts: DataFrame          # candidates AND dropped_buckets materialized
 
 
 def _simhash_combo_entries(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -135,13 +135,25 @@ def stage3_candidates(
     )
     # entries are persisted (spilling): consumed by the counts pass, the
     # collect_list pass, and (via counts) the dropped_buckets action.
+    # Scale note: at the 100 TB design point the entries relation (~64
+    # rows/doc) exceeds any executor-storage budget — there a deployment
+    # flips this to no-persist and lets both passes recompute from the
+    # committed buckets/signatures tables (two cheap columnar scans);
+    # persist wins only while entries fit the cluster's storage fraction.
     entries = (
         lsh_entries.unionByName(sim_entries)
         .unionByName(fp_entries)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     keys = ["gen", "k1", "k2"]
-    counts = entries.groupBy(*keys).agg(F.count("*").alias("n"))
+    # counts is tiny (one row per distinct key) and read twice — by the
+    # candidates job (ok_keys semi-join) and by the dropped_buckets write;
+    # persisting it turns the dropped_buckets stage into a filter over
+    # cached rows instead of a second shuffle of the entries relation
+    counts = (
+        entries.groupBy(*keys).agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ok_keys = counts.filter((F.col("n") >= 2) & (F.col("n") <= cfg.max_bucket))
     dropped = counts.filter(F.col("n") > cfg.max_bucket).select(
         F.col("gen").alias("generator"),
@@ -191,7 +203,7 @@ def stage3_candidates(
     candidates = pairs.unionByName(sha_pairs).groupBy("url_a", "url_b").agg(
         F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources")
     )
-    return CandidateOut(candidates, dropped, entries)
+    return CandidateOut(candidates, dropped, entries, counts)
 
 
 # ---------------------------------------------------------------------------
