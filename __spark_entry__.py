@@ -381,6 +381,38 @@ def _ann_hyperplane(spark, sf_dir, n_bits: int = 4):
     )
 
 
+def _doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting via rolling windows (the SQL-visible twin
+    of the pipeline's winnowing tier): per doc, the number of 32-char
+    grams and the lexicographically minimal gram — a deterministic
+    content fingerprint (two docs sharing any long span often share the
+    min-gram). Hash-free so Spark and DuckDB agree exactly (binary
+    collation both sides); the pipeline's FNV-based winnowing variant is
+    parity-tested in pytest instead."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.greatest(F.length("text") - F.lit(31), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.col("text").substr(i, F.lit(32))
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        F.when(n > 0, F.array_min(grams)).otherwise(F.lit(None)).alias("min_gram"),
+    )
+
+
+def _token_stats(spark, sf_dir):
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    ([a-zA-Z0-9]+ runs — the alphanumeric-merge approximation), both JVM
+    expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-zA-Z0-9]+")).cast("long").alias("re_tokens"),
+    )
+
+
 #: language -> marker substrings for the stopword-argmax classifier
 #: (langid F-row upgrade: a real per-doc classifier over the fixture's five
 #: languages, not just an 'en' ratio). Shared by the Spark and DuckDB sides.
@@ -597,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mplsh_knn": _mplsh_knn,  # no SQL twin (probe heap); pytest-gated
         "langid_score": _langid_score,
         "html_stats": _html_stats,
+        "doc_fingerprint": _doc_fingerprint,
+        "token_stats": _token_stats,
         "modality_features": _modality_features,  # no SQL twin (entropy); pytest-gated
         # dedup engine stages — each SQL-twinned against the NumPy oracle's
         # materialized tables / a DuckDB restatement of the stage transform
@@ -827,6 +861,22 @@ def oracle_sql() -> dict[str, str]:
     return {**_dedup_twin_sql(_cache01),
         "ann_hyperplane": _ann_twin_sql(),
         "langid_score": _langid_twin_sql(),
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   CAST(GREATEST(len(text) - 31, 0) AS BIGINT) AS n_grams,
+                   CASE WHEN len(text) >= 32
+                        THEN list_min(list_transform(range(1, len(text) - 30),
+                                                     i -> substr(text, i, 32)))
+                        ELSE NULL END AS min_gram
+            FROM documents
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT)
+                       AS re_tokens
+            FROM documents
+        """,
         "html_stats": f"""
             SELECT lang, COUNT(*) AS n,
                    CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes,

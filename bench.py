@@ -52,10 +52,11 @@ def main() -> None:
 
         t0 = time.monotonic()
         wh0 = Warehouse(wh_root, DEFAULT.config_hash(), "bench")
-        pages_in = load_pages_spark(spark, args.sf_dir, replicate=args.replicate)
-        n_parts = snapshot_partitions(
-            corpus_nbytes(make_corpus(args.sf_dir)) * args.replicate
+        corpus = make_corpus(args.sf_dir)
+        pages_in = load_pages_spark(
+            spark, args.sf_dir, replicate=args.replicate, corpus=corpus
         )
+        n_parts = snapshot_partitions(corpus_nbytes(corpus) * args.replicate)
         wh0.write(pages_in.repartition(n_parts), "pages")
         pages = wh0.read(spark, "pages")
         n_docs = pages.count()

@@ -40,19 +40,40 @@ def cache_dir(sf_dir: str) -> str:
     return os.path.join(CACHE_ROOT, os.path.basename(sf_dir.rstrip("/")))
 
 
+def _kernel_hash() -> str:
+    """Fingerprint of the kernel sources the oracle's outputs depend on —
+    cache invalidation must trigger on KERNEL edits too, not only config
+    changes (a config_hash-only key serves stale tables after an
+    algorithm change at unchanged config)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for mod in ("hashing.py", "features.py", "oracle.py", "synth.py"):
+        with open(os.path.join(here, mod), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def ensure_cache(sf_dir: str, cfg=None) -> str:
     """Run the NumPy oracle on the corpus synthesized from sf_dir (if not
-    already cached for this config) and return the cache directory holding
-    pages/signatures/buckets/candidates/verified/clusters parquet."""
+    already cached for this config + kernel version) and return the cache
+    directory holding pages/signatures/buckets/candidates/verified/
+    clusters parquet."""
     from .config import DEFAULT
 
     cfg = cfg or DEFAULT
     d = cache_dir(sf_dir)
     marker_path = os.path.join(d, MARKER)
+    khash = _kernel_hash()
     if os.path.exists(marker_path):
         try:
             with open(marker_path) as f:
-                if json.load(f).get("config_hash") == cfg.config_hash():
+                m = json.load(f)
+                if (
+                    m.get("config_hash") == cfg.config_hash()
+                    and m.get("kernel_hash") == khash
+                ):
                     return d
         except (json.JSONDecodeError, OSError):
             pass  # corrupt marker -> rebuild
@@ -75,6 +96,10 @@ def ensure_cache(sf_dir: str, cfg=None) -> str:
         df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
     tmp = marker_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"config_hash": cfg.config_hash(), "sf_dir": sf_dir}, f)
+        json.dump(
+            {"config_hash": cfg.config_hash(), "kernel_hash": khash,
+             "sf_dir": sf_dir},
+            f,
+        )
     os.replace(tmp, marker_path)
     return d

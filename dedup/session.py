@@ -13,13 +13,20 @@ from pyspark.sql import SparkSession
 
 
 def _scratch_dir() -> str:
-    """tmpfs scratch for shuffle files when present, else the default."""
+    """tmpfs scratch for shuffle files — but only when /dev/shm is
+    actually large (containers often cap it at 64 MB, and a shuffle that
+    outgrows tmpfs fails with ENOSPC where disk would have survived).
+    Threshold: >= 16 GiB free. Override with SPARK_LOCAL_DIRS."""
     if os.environ.get("SPARK_LOCAL_DIRS"):
         return os.environ["SPARK_LOCAL_DIRS"]
     shm = "/dev/shm/spark-local"
-    if os.path.isdir("/dev/shm"):
-        os.makedirs(shm, exist_ok=True)
-        return shm
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 << 30:
+            os.makedirs(shm, exist_ok=True)
+            return shm
+    except OSError:
+        pass
     return os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark-local")
 
 

@@ -232,23 +232,31 @@ def replicate_corpus(corpus: SynthCorpus, factor: int) -> pd.DataFrame:
 
 def corpus_nbytes(corpus: SynthCorpus) -> int:
     """Approximate on-disk bytes of the pages table (text + html + ~10%
-    row overhead for url/ts/lang) — the input to snapshot layout sizing."""
-    text_b = int(corpus.pages["text"].str.len().sum())
+    row overhead for url/ts/lang) — the input to snapshot layout sizing.
+    Text is measured in UTF-8 BYTES, not characters (CJK text is 3
+    bytes/char; char counting would under-partition it ~3x)."""
+    text_b = int(corpus.pages["text"].str.encode("utf-8").map(len).sum())
     html_b = int(corpus.pages["html"].map(len).sum())
     return int((text_b + html_b) * 1.1)
 
 
 def snapshot_partitions(
-    total_bytes: int, target_file_bytes: int = 8 << 20, lo: int = 16, hi: int = 4096
+    total_bytes: int,
+    target_file_bytes: int = 8 << 20,
+    lo: int = 16,
+    hi: int = 1 << 20,
 ) -> int:
     """Partition count for the input snapshot, scaled by DATA SIZE (target
     file size), not a fixed file count — a layout constant like 64 is an
     sf0.1 artifact that breaks at 100x the data (VERDICT r1 "what's
     wrong" #4). The 8 MB sandbox target keeps every core fed through the
     CPU-heavy stage-1 scan (mapInPandas inherits scan splits); production
-    clusters pass target_file_bytes=128<<20. Deliberately independent of
-    the writing cluster's size so the layout is reproducible across
-    cluster shapes (the round-1 rationale, kept)."""
+    clusters pass target_file_bytes=128<<20 (jobs/run_dedup.py
+    --target-file-mb). Deliberately independent of the writing cluster's
+    size so the layout is reproducible across cluster shapes. `hi` is a
+    runaway backstop (2^20 files), far above any byte-scaled result at
+    the design point (100 TB / 128 MB = ~800k files), not a layout
+    ceiling."""
     return max(lo, min(hi, int(total_bytes // target_file_bytes) + 1))
 
 
@@ -267,14 +275,16 @@ def pages_schema():
     )
 
 
-def load_pages_spark(spark, sf_dir: str, seed: int = 42, replicate: int = 1):
+def load_pages_spark(spark, sf_dir: str, seed: int = 42, replicate: int = 1,
+                     corpus: SynthCorpus | None = None):
     """Base corpus ships driver->executors once (Arrow createDataFrame);
     replication happens Spark-side (crossJoin with a replica range + JVM
     url rewrite) so bench corpora scale without serial driver work. The
-    url scheme matches replicate_corpus() exactly."""
+    url scheme matches replicate_corpus() exactly. Pass `corpus` when the
+    caller already synthesized it (avoids a duplicate driver-side pass)."""
     from pyspark.sql import functions as F
 
-    corpus = make_corpus(sf_dir, seed)
+    corpus = corpus or make_corpus(sf_dir, seed)
     base = spark.createDataFrame(corpus.pages, schema=pages_schema())
     if replicate <= 1:
         return base

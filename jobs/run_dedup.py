@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--parallelism", type=int, default=None, help="local[N] when no cluster master")
     ap.add_argument("--stop-after", default=None)
     ap.add_argument("--config", default="default", choices=["default", "banding16"])
+    ap.add_argument(
+        "--target-file-mb", type=int, default=8,
+        help="snapshot target file size in MiB (8 sandbox, 128 cluster)",
+    )
     args = ap.parse_args()
 
     from dedup import config as C
@@ -55,12 +59,16 @@ def main() -> None:
         if not wh.is_complete("pages"):
             from dedup.synth import corpus_nbytes, make_corpus, snapshot_partitions
 
-            pages = load_pages_spark(spark, args.input, replicate=args.replicate)
-            # Snapshot layout scales with input BYTES (8 MB target files),
+            corpus = make_corpus(args.input)  # synthesized once, reused below
+            pages = load_pages_spark(
+                spark, args.input, replicate=args.replicate, corpus=corpus
+            )
+            # Snapshot layout scales with input BYTES (target file size),
             # not a fixed file count, and stays independent of which
             # cluster size wrote it (reproducible layout).
             n_parts = snapshot_partitions(
-                corpus_nbytes(make_corpus(args.input)) * args.replicate
+                corpus_nbytes(corpus) * args.replicate,
+                target_file_bytes=args.target_file_mb << 20,
             )
             wh.write(pages.repartition(n_parts), "pages")
         pages = wh.read(spark, "pages")

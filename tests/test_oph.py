@@ -46,14 +46,18 @@ def test_oph_runnerup_and_densification():
     # (most of them: 40 values over 128 bins) have gap exactly 0
     x = H.mod61(s)
     h = H.mod61(H.mulmod61(np.full(x.shape, A[0], dtype=np.uint64), x) + B[0])
-    occupied = np.unique((h >> np.uint64(54)).astype(np.int64))
+    bins = (h >> np.uint64(54)).astype(np.int64)
+    h32 = h >> np.uint64(29)  # the kernel's 32-bit slot truncation
+    occupied = np.unique(bins)
     filled = np.zeros(128, dtype=bool)
     filled[occupied] = True
     assert np.all(run[filled] >= minh[filled])
     assert np.array_equal(run[~filled], minh[~filled])
-    # occupied-bin slots are the actual bin minima of the raw hash
+    # every slot value fits the 32-bit domain (the shuffle-size guarantee)
+    assert np.all(minh < (1 << 32)) and np.all(run < (1 << 32))
+    # occupied-bin slots are the truncated bin minima of the raw hash
     for b_ in occupied:
-        vals = np.sort(h[(h >> np.uint64(54)).astype(np.int64) == b_])
+        vals = np.sort(h32[bins == b_])
         assert minh[b_] == vals[0]
         assert run[b_] == (vals[1] if vals.size > 1 else vals[0])
 
