@@ -1,0 +1,121 @@
+"""Incremental dedup: fold a NEW batch of pages into a completed base run
+without recomputing old-old work (the daily-crawl story at the 100 TB
+design point; SURVEY.md §2.9's incremental note made real).
+
+What is incremental vs recomputed:
+  - stage 1/2 run on the NEW batch only (the dominant per-doc cost).
+  - candidate generation sees OLD + NEW bucket/signature state but emits
+    only pairs touching >= 1 new url (stage3_candidates new_urls mode);
+    the bucket cap counts old+new members, matching what a from-scratch
+    run over the union would drop.
+  - verification runs on those new-touching pairs only.
+  - connectivity: the base run's clusters table IS the transitive
+    closure of the old dup pairs, compressed to one star per component —
+    so CC re-runs over (old cluster stars) UNION (new dup pairs), which
+    is tiny compared to re-clustering the full edge set, and yields the
+    SAME partition a full union run would (star edges preserve old
+    components exactly; tests/test_incremental.py asserts the equality).
+
+Append semantics: the delta tables (signatures_delta_<id>,
+verified_pairs_delta_<id>) commit under the same manifest protocol;
+`clusters` and `canonical_pages` are global outputs and are rewritten.
+(An Iceberg deployment appends the deltas as snapshots of the base
+tables instead of suffixed directories — same commit semantics, one
+writer seam in catalog.py.)
+
+Known, documented divergence from a full recompute: old-old pairs keep
+the verdicts of the base run even if the union corpus would have pushed
+their bucket over the cap (the full run would then drop those pairs
+entirely). Append-only retention is the desired behavior for a dedup
+service — once two docs are known duplicates, more data cannot un-know
+it.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import stages
+from .catalog import Warehouse
+from .cc import connected_components
+from .config import DedupConfig
+
+BASE_TABLES = ("pages", "signatures", "buckets", "verified_pairs", "clusters")
+
+
+def run_incremental(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    cfg: DedupConfig,
+    warehouse_root: str,
+    run_id: str | None = None,
+) -> dict[str, DataFrame]:
+    """Dedupe `new_pages` against the completed base run in
+    `warehouse_root`. Returns the updated global views plus the deltas;
+    commits delta tables and rewrites the global clusters/canonical
+    tables in the warehouse."""
+    wh = Warehouse(
+        root=warehouse_root,
+        config_hash=cfg.config_hash(),
+        run_id=run_id or uuid.uuid4().hex[:12],
+    )
+    missing = [t for t in BASE_TABLES if not wh.is_complete(t)]
+    if missing:
+        raise ValueError(
+            f"incremental run needs a completed base run; missing {missing}"
+        )
+
+    old_pages = wh.read(spark, "pages")
+    old_sigs = wh.read(spark, "signatures")
+    old_buckets = wh.read(spark, "buckets")
+    old_clusters = wh.read(spark, "clusters")
+
+    # guard: a url may appear in exactly one batch
+    dup_urls = new_pages.select("url").join(old_pages.select("url"), "url").limit(1)
+    if dup_urls.count() > 0:
+        raise ValueError("new_pages contains urls already present in the base run")
+
+    delta = f"delta_{wh.run_id}"
+    sig_new = stages.stage1_signatures(new_pages, cfg)
+    wh.write(sig_new, f"signatures_{delta}")
+    sig_new = wh.read(spark, f"signatures_{delta}")
+    buckets_new = stages.stage2_buckets(sig_new, cfg)
+    wh.write(buckets_new, f"buckets_{delta}")
+    buckets_new = wh.read(spark, f"buckets_{delta}")
+
+    sig_all = old_sigs.unionByName(sig_new)
+    buckets_all = old_buckets.unionByName(buckets_new)
+    pages_all = old_pages.unionByName(new_pages)
+
+    cand = stages.stage3_candidates(
+        sig_all, buckets_all, cfg, new_urls=sig_new.select("url")
+    )
+    verified_new = stages.stage4_verify(cand.candidates, sig_all, pages_all, cfg)
+    wh.write(verified_new, f"verified_pairs_{delta}")
+    verified_new = wh.read(spark, f"verified_pairs_{delta}")
+    cand.entries.unpersist()
+    cand.counts.unpersist()
+
+    # old components enter as one star per cluster — their transitive
+    # closure, so CC input is |old urls in clusters| + |new dup pairs|
+    old_stars = old_clusters.filter(F.col("url") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("url_a"), F.col("url").alias("url_b")
+    )
+    edges = (
+        verified_new.filter("is_dup").select("url_a", "url_b").unionByName(old_stars)
+    )
+    clusters = connected_components(edges, pages_all.select("url"), cfg)
+    wh.write(clusters, "clusters")
+    clusters = wh.read(spark, "clusters")
+    canonical = stages.stage6_canonical(clusters, pages_all)
+    wh.write(canonical, "canonical_pages")
+
+    return {
+        "signatures_delta": sig_new,
+        "buckets_delta": buckets_new,
+        "verified_pairs_delta": verified_new,
+        "clusters": clusters,
+        "canonical_pages": wh.read(spark, "canonical_pages"),
+    }

@@ -89,9 +89,18 @@ def _simhash_combo_entries(signatures: DataFrame, cfg: DedupConfig) -> DataFrame
 
 
 def stage3_candidates(
-    signatures: DataFrame, buckets: DataFrame, cfg: DedupConfig
+    signatures: DataFrame,
+    buckets: DataFrame,
+    cfg: DedupConfig,
+    new_urls: DataFrame | None = None,
 ) -> CandidateOut:
     """All four candidate generators in one unified pass.
+
+    new_urls (incremental mode, dedup/incremental.py): a DataFrame[url]
+    marking the NEW batch. When set, only pairs touching at least one new
+    url are emitted — old-old pairs were already decided by the base run.
+    The bucket cap still counts ALL members (old + new), matching what a
+    full from-scratch run over the union would drop.
 
     The three capped generators (lsh buckets, simhash combo keys, winnow
     fingerprints) normalize to a single entries relation
@@ -140,11 +149,19 @@ def stage3_candidates(
     # flips this to no-persist and lets both passes recompute from the
     # committed buckets/signatures tables (two cheap columnar scans);
     # persist wins only while entries fit the cluster's storage fraction.
-    entries = (
-        lsh_entries.unionByName(sim_entries)
-        .unionByName(fp_entries)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    entries = lsh_entries.unionByName(sim_entries).unionByName(fp_entries)
+    marks = (
+        new_urls.select("url").withColumn("is_new", F.lit(True))
+        if new_urls is not None
+        else None
     )
+    if marks is not None:
+        entries = entries.join(marks, "url", "left").withColumn(
+            "is_new", F.coalesce("is_new", F.lit(False))
+        )
+    else:
+        entries = entries.withColumn("is_new", F.lit(True))
+    entries = entries.persist(StorageLevel.MEMORY_AND_DISK)
     keys = ["gen", "k1", "k2"]
     # counts is tiny (one row per distinct key) and read twice — by the
     # candidates job (ok_keys semi-join) and by the dropped_buckets write;
@@ -166,7 +183,7 @@ def stage3_candidates(
     grouped = (
         entries.join(ok_keys.select(*keys), keys, "left_semi")
         .groupBy(*keys)
-        .agg(F.collect_list(F.struct("url", "is_probe")).alias("members"))
+        .agg(F.collect_list(F.struct("url", "is_probe", "is_new")).alias("members"))
     )
     # Pair explosion stays JVM-side (double explode inside whole-stage
     # codegen — no Arrow round-trip): a bucket of n members -> n^2 generated
@@ -179,6 +196,7 @@ def stage3_candidates(
         .select("gen", "a", F.explode("members").alias("b"))
         .filter(F.col("a.url") < F.col("b.url"))
         .filter(~(F.col("a.is_probe") & F.col("b.is_probe")))
+        .filter(F.col("a.is_new") | F.col("b.is_new"))
         .select(
             F.col("a.url").alias("url_a"),
             F.col("b.url").alias("url_b"),
@@ -199,6 +217,19 @@ def stage3_candidates(
         .select("url_a", F.col("url").alias("url_b"))
         .withColumn("source", F.lit("sha"))
     )
+    if marks is not None:
+        # incremental: keep only star pairs touching a new url (old-old
+        # connectivity is already encoded in the base run's clusters)
+        ma = marks.select(F.col("url").alias("url_a"), F.col("is_new").alias("_na"))
+        mb = marks.select(F.col("url").alias("url_b"), F.col("is_new").alias("_nb"))
+        sha_pairs = (
+            sha_pairs.join(ma, "url_a", "left")
+            .join(mb, "url_b", "left")
+            .filter(
+                F.coalesce("_na", F.lit(False)) | F.coalesce("_nb", F.lit(False))
+            )
+            .drop("_na", "_nb")
+        )
 
     candidates = pairs.unionByName(sha_pairs).groupBy("url_a", "url_b").agg(
         F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources")

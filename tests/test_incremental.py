@@ -1,0 +1,84 @@
+"""Incremental dedup gates (dedup/incremental.py): folding a new batch
+into a completed base run must produce EXACTLY the cluster partition a
+full from-scratch run over the union produces (same min-url cluster ids),
+while doing only new-touching candidate/verify work."""
+
+import pandas as pd
+import pytest
+
+from dedup.config import DEFAULT
+from dedup.incremental import run_incremental
+from dedup.pipeline import run
+from dedup.synth import pages_schema
+
+
+@pytest.fixture(scope="module")
+def split_corpus(corpus_smoke):
+    pages = corpus_smoke.pages.sort_values("url", ignore_index=True)
+    # deterministic split that still crosses batches: every 10th row joins
+    # the increment, so planted clusters straddle the base/new boundary
+    new_mask = (pages.index % 10) < 3
+    return pages[~new_mask].reset_index(drop=True), pages[new_mask].reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def runs(spark, split_corpus, tmp_path_factory):
+    base_pd, new_pd = split_corpus
+    wh_inc = str(tmp_path_factory.mktemp("wh_inc"))
+    wh_full = str(tmp_path_factory.mktemp("wh_full"))
+
+    base_df = spark.createDataFrame(base_pd, schema=pages_schema())
+    new_df = spark.createDataFrame(new_pd, schema=pages_schema())
+    full_df = spark.createDataFrame(
+        pd.concat([base_pd, new_pd], ignore_index=True), schema=pages_schema()
+    )
+
+    run(spark, base_df, DEFAULT, wh_inc)            # base run
+    inc = run_incremental(spark, new_df, DEFAULT, wh_inc, run_id="inc1")
+    full = run(spark, full_df, DEFAULT, wh_full)    # reference full run
+    return spark, inc, full, base_pd, new_pd
+
+
+def test_incremental_clusters_equal_full_run(runs):
+    spark, inc, full, _base, _new = runs
+    got = (
+        inc["clusters"].toPandas().sort_values("url", ignore_index=True)
+    )
+    want = (
+        full.df(spark, "clusters").toPandas().sort_values("url", ignore_index=True)
+    )
+    assert got["url"].tolist() == want["url"].tolist()
+    # identical partition AND identical min-url representatives
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+
+
+def test_incremental_only_does_new_touching_work(runs):
+    _spark, inc, _full, base_pd, new_pd = runs
+    new_urls = set(new_pd["url"])
+    ver = inc["verified_pairs_delta"].toPandas()
+    assert len(ver) > 0
+    # every verified delta pair touches at least one new url
+    assert all(
+        (a in new_urls) or (b in new_urls)
+        for a, b in ver[["url_a", "url_b"]].values.tolist()
+    )
+    # signatures delta covers only the new batch
+    sig_urls = set(inc["signatures_delta"].toPandas()["url"])
+    assert sig_urls <= new_urls
+
+
+def test_incremental_rejects_overlapping_urls(spark, split_corpus, tmp_path_factory):
+    base_pd, _new_pd = split_corpus
+    wh = str(tmp_path_factory.mktemp("wh_overlap"))
+    base_df = spark.createDataFrame(base_pd, schema=pages_schema())
+    run(spark, base_df, DEFAULT, wh)
+    with pytest.raises(ValueError, match="already present"):
+        run_incremental(spark, base_df.limit(5), DEFAULT, wh)
+
+
+def test_incremental_requires_completed_base(spark, split_corpus, tmp_path_factory):
+    _base_pd, new_pd = split_corpus
+    wh = str(tmp_path_factory.mktemp("wh_nobase"))
+    new_df = spark.createDataFrame(new_pd, schema=pages_schema())
+    with pytest.raises(ValueError, match="completed base run"):
+        run_incremental(spark, new_df, DEFAULT, wh)
