@@ -16,9 +16,11 @@ What is incremental vs recomputed:
     SAME partition a full union run would (star edges preserve old
     components exactly; tests/test_incremental.py asserts the equality).
 
-Append semantics: the delta tables (signatures_delta_<id>,
-verified_pairs_delta_<id>) commit under the same manifest protocol;
-`clusters` and `canonical_pages` are global outputs and are rewritten.
+Append semantics: the delta tables (pages/signatures/buckets/
+verified_pairs `_delta_<id>`) commit under the same manifest protocol
+and are folded into the global view read by SUBSEQUENT increments
+(`_with_deltas`), so increments chain; `clusters` and `canonical_pages`
+are global outputs and are rewritten each increment.
 (An Iceberg deployment appends the deltas as snapshots of the base
 tables instead of suffixed directories — same commit semantics, one
 writer seam in catalog.py.)
@@ -45,6 +47,22 @@ from .config import DedupConfig
 BASE_TABLES = ("pages", "signatures", "buckets", "verified_pairs", "clusters")
 
 
+def _with_deltas(spark: SparkSession, wh: Warehouse, table: str) -> DataFrame:
+    """The current global view of `table`: the base run's table UNION every
+    committed `<table>_delta_*` from prior increments — so increments
+    chain (increment N sees the state produced by increments 1..N-1)."""
+    import os
+    import re
+
+    df = wh.read(spark, table)
+    pat = re.compile(rf"^{re.escape(table)}_delta_[0-9a-zA-Z]+$")
+    if os.path.isdir(wh.root):
+        for name in sorted(os.listdir(wh.root)):
+            if pat.match(name) and wh.is_complete(name):
+                df = df.unionByName(wh.read(spark, name))
+    return df
+
+
 def run_incremental(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -67,10 +85,10 @@ def run_incremental(
             f"incremental run needs a completed base run; missing {missing}"
         )
 
-    old_pages = wh.read(spark, "pages")
-    old_sigs = wh.read(spark, "signatures")
-    old_buckets = wh.read(spark, "buckets")
-    old_clusters = wh.read(spark, "clusters")
+    old_pages = _with_deltas(spark, wh, "pages")
+    old_sigs = _with_deltas(spark, wh, "signatures")
+    old_buckets = _with_deltas(spark, wh, "buckets")
+    old_clusters = wh.read(spark, "clusters")  # always global (rewritten)
 
     # guard: a url may appear in exactly one batch
     dup_urls = new_pages.select("url").join(old_pages.select("url"), "url").limit(1)
@@ -78,6 +96,8 @@ def run_incremental(
         raise ValueError("new_pages contains urls already present in the base run")
 
     delta = f"delta_{wh.run_id}"
+    wh.write(new_pages, f"pages_{delta}")
+    new_pages = wh.read(spark, f"pages_{delta}")
     sig_new = stages.stage1_signatures(new_pages, cfg)
     wh.write(sig_new, f"signatures_{delta}")
     sig_new = wh.read(spark, f"signatures_{delta}")

@@ -67,6 +67,36 @@ def test_incremental_only_does_new_touching_work(runs):
     assert sig_urls <= new_urls
 
 
+def test_two_chained_increments_equal_full_run(spark, corpus_smoke, tmp_path_factory):
+    """Increment N must see the state of increments 1..N-1: base +
+    increment A + increment B == one full run over everything."""
+    pages = corpus_smoke.pages.sort_values("url", ignore_index=True)
+    part = pages.index % 10
+    base_pd = pages[part < 6].reset_index(drop=True)
+    inc1_pd = pages[(part >= 6) & (part < 8)].reset_index(drop=True)
+    inc2_pd = pages[part >= 8].reset_index(drop=True)
+
+    wh = str(tmp_path_factory.mktemp("wh_chain"))
+    run(spark, spark.createDataFrame(base_pd, schema=pages_schema()), DEFAULT, wh)
+    run_incremental(
+        spark, spark.createDataFrame(inc1_pd, schema=pages_schema()),
+        DEFAULT, wh, run_id="incA",
+    )
+    out = run_incremental(
+        spark, spark.createDataFrame(inc2_pd, schema=pages_schema()),
+        DEFAULT, wh, run_id="incB",
+    )
+
+    wh_full = str(tmp_path_factory.mktemp("wh_chain_full"))
+    full = run(
+        spark, spark.createDataFrame(pages, schema=pages_schema()), DEFAULT, wh_full
+    )
+    got = out["clusters"].toPandas().sort_values("url", ignore_index=True)
+    want = full.df(spark, "clusters").toPandas().sort_values("url", ignore_index=True)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+
+
 def test_incremental_rejects_overlapping_urls(spark, split_corpus, tmp_path_factory):
     base_pd, _new_pd = split_corpus
     wh = str(tmp_path_factory.mktemp("wh_overlap"))
