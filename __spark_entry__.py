@@ -506,8 +506,10 @@ def _modality_features(spark, sf_dir):
     Arrow-batched mapInPandas UDF (dedup/modality.py): byte length,
     Shannon entropy, magic sniff, and deterministic fake decode dims (the
     real decoder is stubbed — no codec libs in this environment). Entropy
-    is not SQL-expressible over blobs, so this entry is rows-only; its
-    exact gate is tests/test_modality.py vs the NumPy reference."""
+    is not SQL-expressible over blobs, so the DuckDB twin SELECTs from the
+    materialized row-wise NumPy reference (dedup/contract_oracle.py
+    `modality_features` — features_one run single-process); exact-parity
+    gate also in tests/test_modality.py."""
     from dedup.config import DEFAULT
     from dedup.contract_oracle import ensure_cache
     from dedup.modality import modality_features
@@ -521,12 +523,17 @@ def _mplsh_knn(spark, sf_dir):
     """Classic p-stable multi-probe LSH k-NN ([E2LSH] keys + [MPLSH §3-4]
     query-directed probing) — the reference's literal algorithm
     (/root/reference/README.md:1) over the embeddings fixture. Probe-set
-    enumeration is a per-query heap (not SQL-expressible), so this entry
-    has no DuckDB twin; its gates are tests/test_mplsh.py: exact candidate
-    parity vs the single-process NumPy reference search + recall >= 0.9
-    @ T=16 vs brute force."""
+    enumeration is a per-query heap (not SQL-expressible directly), so the
+    DuckDB twin SELECTs from the materialized single-process NumPy
+    reference search (dedup/contract_oracle.py `mplsh_topk` — dict-of-
+    buckets candidate gen, no Spark, no joins); additionally gated by
+    tests/test_mplsh.py (exact candidate parity + recall >= 0.9 @ T=16
+    vs brute force)."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
     from dedup.mplsh import MplshConfig, mplsh_topk
 
+    ensure_cache(sf_dir, DEFAULT)  # materialize the twin's reference table
     e = _t(spark, sf_dir, "embeddings")
     return mplsh_topk(e, MplshConfig(), k=5, query_filter=F.col("vec_id") < 5)
 
@@ -626,12 +633,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality_score,
         "cosine_near_dup": _cosine_near_dup,
         "ann_hyperplane": _ann_hyperplane,  # SQL-twinned; recall pytest-gated too
-        "mplsh_knn": _mplsh_knn,  # no SQL twin (probe heap); pytest-gated
+        "mplsh_knn": _mplsh_knn,  # twinned vs materialized NumPy reference
         "langid_score": _langid_score,
         "html_stats": _html_stats,
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
-        "modality_features": _modality_features,  # no SQL twin (entropy); pytest-gated
+        "modality_features": _modality_features,  # twinned vs NumPy reference
         # dedup engine stages — each SQL-twinned against the NumPy oracle's
         # materialized tables / a DuckDB restatement of the stage transform
         # (see _dedup_twin_sql); ALSO bit-for-bit parity-tested in pytest
@@ -859,6 +866,17 @@ def oracle_sql() -> dict[str, str]:
         _os.path.dirname(_os.path.abspath(__file__)), ".oracle_cache", "sf0.01"
     )
     return {**_dedup_twin_sql(_cache01),
+        # non-SQL-expressible kernels (probe heap / blob entropy): the twin
+        # SELECTs the materialized single-process NumPy reference output
+        # (dedup/contract_oracle.py) — independent of the distributed path
+        "mplsh_knn": f"""
+            SELECT query_id, neighbor_id, round(dist_exact, 5) AS dist
+            FROM read_parquet('{_cache01}/mplsh_topk.parquet')
+        """,
+        "modality_features": f"""
+            SELECT url, n_bytes, entropy, magic, fake_width, fake_height
+            FROM read_parquet('{_cache01}/modality_features.parquet')
+        """,
         "ann_hyperplane": _ann_twin_sql(),
         "langid_score": _langid_twin_sql(),
         "doc_fingerprint": """
