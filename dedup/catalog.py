@@ -40,7 +40,26 @@ class Warehouse:
     run_id: str
 
     def path(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        """Physical directory for `table`. Tables rewritten by increments
+        (clusters/canonical_pages) are versioned: a `<table>.POINTER.json`
+        at the warehouse root names the current generation directory, and
+        the pointer file is the unit of atomic replacement (os.replace) —
+        so a crash mid-rewrite leaves the previous committed generation
+        fully readable (the in-place-overwrite hazard of rewriting an
+        already-committed table is gone). No pointer file -> the plain
+        directory, as written by a base run."""
+        gen = self._read_pointer(table)
+        return os.path.join(self.root, gen if gen is not None else table)
+
+    def _pointer_path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.POINTER.json")
+
+    def _read_pointer(self, table: str) -> Optional[str]:
+        p = self._pointer_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["dir"]
 
     # -- commit protocol ----------------------------------------------------
     def is_complete(self, table: str) -> bool:
@@ -76,6 +95,13 @@ class Warehouse:
 
         from pyspark.sql import Observation, functions as F
 
+        if self._read_pointer(table) is not None:
+            # a versioned table must be rewritten through replace(): an
+            # in-place overwrite of the current generation is exactly the
+            # crash hazard the pointer protocol exists to remove
+            raise ValueError(
+                f"table {table!r} is pointer-versioned; use replace()"
+            )
         out = self.path(table)
         t0 = time.monotonic()
         obs = Observation(f"rows_{table}_{_uuid.uuid4().hex[:8]}")
@@ -98,6 +124,61 @@ class Warehouse:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, os.path.join(out, MANIFEST))
         return manifest
+
+    def replace(self, df: DataFrame, table: str) -> dict:
+        """Atomically replace an already-committed table (the increment
+        path rewrites the global clusters/canonical_pages views): write a
+        fresh generation directory `<table>__gen_<run_id>`, commit its
+        manifest, then swap the pointer file with os.replace. Readers
+        resolve the pointer, so they see either the old generation or the
+        new one — never a half-written directory. The superseded
+        generation is deleted after the swap (the base run's plain
+        directory is kept: it documents the base state and a stray delete
+        crash there would orphan nothing)."""
+        import shutil
+
+        old_gen = self._read_pointer(table)
+        gen = f"{table}__gen_{self.run_id}"
+        gen_path = os.path.join(self.root, gen)
+        if os.path.exists(gen_path):  # leftover from a crashed attempt
+            shutil.rmtree(gen_path)
+        manifest = self.write(df, gen)
+        tmp = self._pointer_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"dir": gen, "run_id": self.run_id}, f)
+        os.replace(tmp, self._pointer_path(table))
+        if old_gen is not None and old_gen != gen:
+            shutil.rmtree(os.path.join(self.root, old_gen), ignore_errors=True)
+        return manifest
+
+    # -- delta registry (incremental runs; see dedup/incremental.py) --------
+    DELTAS = "_DELTAS.json"
+
+    def register_delta(self, table: str, delta_table: str) -> None:
+        """Record a committed `<table>_delta_*` in the warehouse's delta
+        registry (atomic read-modify-replace). Discovery of prior deltas
+        reads THIS list, not a directory listing — the registry is part of
+        the commit metadata, so a delta is visible to later increments iff
+        it was registered after its manifest committed."""
+        p = os.path.join(self.root, self.DELTAS)
+        reg: dict[str, list[str]] = {}
+        if os.path.exists(p):
+            with open(p) as f:
+                reg = json.load(f)
+        lst = reg.setdefault(table, [])
+        if delta_table not in lst:
+            lst.append(delta_table)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f, indent=1)
+        os.replace(tmp, p)
+
+    def registered_deltas(self, table: str) -> list[str]:
+        p = os.path.join(self.root, self.DELTAS)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return list(json.load(f).get(table, []))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if not self.is_complete(table):

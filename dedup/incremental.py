@@ -17,10 +17,13 @@ What is incremental vs recomputed:
     components exactly; tests/test_incremental.py asserts the equality).
 
 Append semantics: the delta tables (pages/signatures/buckets/
-verified_pairs `_delta_<id>`) commit under the same manifest protocol
-and are folded into the global view read by SUBSEQUENT increments
-(`_with_deltas`), so increments chain; `clusters` and `canonical_pages`
-are global outputs and are rewritten each increment.
+verified_pairs `_delta_<id>`) commit under the same manifest protocol,
+are recorded in the warehouse's delta registry (catalog.register_delta —
+discovery never lists directories), and are folded into the global view
+read by SUBSEQUENT increments (`_with_deltas`), so increments chain;
+`clusters` and `canonical_pages` are global outputs replaced each
+increment via the atomic generation-pointer swap (catalog.replace), so a
+crash mid-rewrite can never lose the previous committed generation.
 (An Iceberg deployment appends the deltas as snapshots of the base
 tables instead of suffixed directories — same commit semantics, one
 writer seam in catalog.py.)
@@ -50,16 +53,15 @@ BASE_TABLES = ("pages", "signatures", "buckets", "verified_pairs", "clusters")
 def _with_deltas(spark: SparkSession, wh: Warehouse, table: str) -> DataFrame:
     """The current global view of `table`: the base run's table UNION every
     committed `<table>_delta_*` from prior increments — so increments
-    chain (increment N sees the state produced by increments 1..N-1)."""
-    import os
-    import re
-
+    chain (increment N sees the state produced by increments 1..N-1).
+    Discovery reads the warehouse's delta registry written at commit time
+    (catalog.register_delta), never a directory listing — a stray
+    directory can't be picked up, and an unregistered (crashed) delta is
+    invisible, matching the all-or-nothing commit semantics."""
     df = wh.read(spark, table)
-    pat = re.compile(rf"^{re.escape(table)}_delta_[0-9a-zA-Z]+$")
-    if os.path.isdir(wh.root):
-        for name in sorted(os.listdir(wh.root)):
-            if pat.match(name) and wh.is_complete(name):
-                df = df.unionByName(wh.read(spark, name))
+    for name in wh.registered_deltas(table):
+        if wh.is_complete(name):
+            df = df.unionByName(wh.read(spark, name))
     return df
 
 
@@ -74,10 +76,18 @@ def run_incremental(
     `warehouse_root`. Returns the updated global views plus the deltas;
     commits delta tables and rewrites the global clusters/canonical
     tables in the warehouse."""
+    import re
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if not re.fullmatch(r"[0-9a-zA-Z]+", run_id):
+        # the run_id names the delta tables; restricting its alphabet keeps
+        # the delta-table names unambiguous (a '-' or '_' in a run_id would
+        # previously produce names the discovery path could misparse)
+        raise ValueError(
+            f"run_id must be alphanumeric ([0-9a-zA-Z]+), got {run_id!r}"
+        )
     wh = Warehouse(
-        root=warehouse_root,
-        config_hash=cfg.config_hash(),
-        run_id=run_id or uuid.uuid4().hex[:12],
+        root=warehouse_root, config_hash=cfg.config_hash(), run_id=run_id
     )
     missing = [t for t in BASE_TABLES if not wh.is_complete(t)]
     if missing:
@@ -90,19 +100,30 @@ def run_incremental(
     old_buckets = _with_deltas(spark, wh, "buckets")
     old_clusters = wh.read(spark, "clusters")  # always global (rewritten)
 
-    # guard: a url may appear in exactly one batch
-    dup_urls = new_pages.select("url").join(old_pages.select("url"), "url").limit(1)
+    # guard: a url may appear in exactly one batch. Left-semi from the
+    # committed side with the (typically much smaller) new batch broadcast:
+    # the old url column streams through one pruned columnar scan and the
+    # limit(1) short-circuits — no shuffle of the committed corpus.
+    dup_urls = (
+        old_pages.select("url")
+        .join(F.broadcast(new_pages.select("url")), "url", "left_semi")
+        .limit(1)
+    )
     if dup_urls.count() > 0:
         raise ValueError("new_pages contains urls already present in the base run")
 
     delta = f"delta_{wh.run_id}"
-    wh.write(new_pages, f"pages_{delta}")
+    for delta_t, build in (
+        (f"pages_{delta}", lambda: new_pages),
+        (f"signatures_{delta}", lambda: stages.stage1_signatures(
+            wh.read(spark, f"pages_{delta}"), cfg)),
+        (f"buckets_{delta}", lambda: stages.stage2_buckets(
+            wh.read(spark, f"signatures_{delta}"), cfg)),
+    ):
+        wh.write(build(), delta_t)
+        wh.register_delta(delta_t.rsplit("_delta_", 1)[0], delta_t)
     new_pages = wh.read(spark, f"pages_{delta}")
-    sig_new = stages.stage1_signatures(new_pages, cfg)
-    wh.write(sig_new, f"signatures_{delta}")
     sig_new = wh.read(spark, f"signatures_{delta}")
-    buckets_new = stages.stage2_buckets(sig_new, cfg)
-    wh.write(buckets_new, f"buckets_{delta}")
     buckets_new = wh.read(spark, f"buckets_{delta}")
 
     sig_all = old_sigs.unionByName(sig_new)
@@ -114,6 +135,7 @@ def run_incremental(
     )
     verified_new = stages.stage4_verify(cand.candidates, sig_all, pages_all, cfg)
     wh.write(verified_new, f"verified_pairs_{delta}")
+    wh.register_delta("verified_pairs", f"verified_pairs_{delta}")
     verified_new = wh.read(spark, f"verified_pairs_{delta}")
     cand.entries.unpersist()
     cand.counts.unpersist()
@@ -127,10 +149,13 @@ def run_incremental(
         verified_new.filter("is_dup").select("url_a", "url_b").unionByName(old_stars)
     )
     clusters = connected_components(edges, pages_all.select("url"), cfg)
-    wh.write(clusters, "clusters")
+    # global outputs are REPLACED, not overwritten in place: a fresh
+    # generation directory commits first, then the pointer swaps atomically
+    # — a crash mid-rewrite leaves the previous committed generation intact
+    wh.replace(clusters, "clusters")
     clusters = wh.read(spark, "clusters")
     canonical = stages.stage6_canonical(clusters, pages_all)
-    wh.write(canonical, "canonical_pages")
+    wh.replace(canonical, "canonical_pages")
 
     return {
         "signatures_delta": sig_new,

@@ -84,6 +84,15 @@ def run_in_memory(
     buckets = stages.stage2_buckets(sigs, cfg)
     cand = stages.stage3_candidates(sigs, buckets, cfg)
     candidates = cand.candidates.cache()
+    dropped = cand.dropped_buckets.cache()
+    # materialize both consumers of the persisted entries/counts relations
+    # now, then release them — callers hold these DataFrames for a whole
+    # session (driver contract), and the large entries relation (~64
+    # rows/doc) must not stay pinned in executor storage that long
+    candidates.count()
+    dropped.count()
+    cand.entries.unpersist()
+    cand.counts.unpersist()
     verified = stages.stage4_verify(candidates, sigs, pages, cfg).cache()
     clusters = connected_components(
         verified.filter("is_dup").select("url_a", "url_b"),
@@ -94,7 +103,7 @@ def run_in_memory(
         "signatures": sigs,
         "buckets": buckets,
         "candidate_pairs": candidates,
-        "dropped_buckets": cand.dropped_buckets,
+        "dropped_buckets": dropped,
         "verified_pairs": verified,
         "clusters": clusters,
         "canonical_pages": stages.stage6_canonical(clusters, pages),

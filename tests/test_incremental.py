@@ -106,6 +106,41 @@ def test_incremental_rejects_overlapping_urls(spark, split_corpus, tmp_path_fact
         run_incremental(spark, base_df.limit(5), DEFAULT, wh)
 
 
+def test_incremental_rejects_nonalphanumeric_run_id(
+    spark, split_corpus, tmp_path_factory
+):
+    """A run_id outside [0-9a-zA-Z] would name delta tables later
+    discovery could misparse — rejected up front, before any write."""
+    base_pd, new_pd = split_corpus
+    wh = str(tmp_path_factory.mktemp("wh_badid"))
+    run(spark, spark.createDataFrame(base_pd, schema=pages_schema()), DEFAULT, wh)
+    new_df = spark.createDataFrame(new_pd, schema=pages_schema())
+    for bad in ("inc-1", "inc_1", "inc.1"):
+        with pytest.raises(ValueError, match="alphanumeric"):
+            run_incremental(spark, new_df, DEFAULT, wh, run_id=bad)
+
+
+def test_increment_replaces_globals_atomically(runs, tmp_path_factory):
+    """After an increment, the global clusters/canonical tables live in a
+    pointer-resolved generation directory; the base run's directory is
+    untouched (crash mid-rewrite can't lose the committed state) and a
+    plain in-place write of a versioned table is refused."""
+    import json
+    import os
+
+    spark, inc, _full, _base, _new = runs
+    root = os.path.dirname(inc["clusters"].inputFiles()[0].replace("file:", ""))
+    wh_root = os.path.dirname(root)
+    for t in ("clusters", "canonical_pages"):
+        ptr = os.path.join(wh_root, f"{t}.POINTER.json")
+        assert os.path.exists(ptr), f"missing pointer for {t}"
+        gen = json.load(open(ptr))["dir"]
+        assert gen.startswith(f"{t}__gen_")
+        # new generation committed; base directory still committed too
+        assert os.path.exists(os.path.join(wh_root, gen, "_MANIFEST.json"))
+        assert os.path.exists(os.path.join(wh_root, t, "_MANIFEST.json"))
+
+
 def test_incremental_requires_completed_base(spark, split_corpus, tmp_path_factory):
     _base_pd, new_pd = split_corpus
     wh = str(tmp_path_factory.mktemp("wh_nobase"))
