@@ -90,6 +90,50 @@ def fnv1a64_tokens(tokens: list[bytes]) -> np.ndarray:
     return np.array([fnv1a64(t) for t in tokens], dtype=np.uint64)
 
 
+def fnv1a64_tokens_batch(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """FNV-1a 64 of many variable-length segments of one uint8 buffer —
+    bit-identical to calling fnv1a64 on each segment's bytes.
+
+    Vectorizes across segments byte-position by byte-position: tokens are
+    processed in length order so each step's active set is a shrinking
+    suffix, making total vector work O(total bytes). The rare very-long
+    tail segments (e.g. whitespace-free CJK documents are one giant
+    "token") would degenerate to thousands of near-empty vector steps, so
+    once fewer than 64 segments remain active the loop finishes them with
+    the scalar byte loop, continuing from the already-absorbed prefix
+    state (FNV is a plain left fold, so the handoff is exact).
+    """
+    t = starts.size
+    if t == 0:
+        return np.empty(0, dtype=np.uint64)
+    order = np.argsort(lens, kind="stable")
+    s = starts[order]
+    length = lens[order]
+    h = np.full(t, FNV_OFFSET, dtype=np.uint64)
+    j = 0
+    while True:
+        lo = int(np.searchsorted(length, j, side="right"))
+        if lo >= t:
+            break
+        if t - lo < 64:
+            prime = 0x100000001B3
+            mask = 0xFFFFFFFFFFFFFFFF
+            for i in range(lo, t):
+                hv = int(h[i])
+                seg = buf[s[i] + j : s[i] + length[i]]
+                for byte in seg.tolist():
+                    hv = ((hv ^ byte) * prime) & mask
+                h[i] = hv
+            break
+        h[lo:] = (h[lo:] ^ buf[s[lo:] + j].astype(np.uint64)) * FNV_PRIME
+        j += 1
+    out = np.empty(t, dtype=np.uint64)
+    out[order] = h
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Mersenne-61 modular arithmetic (vectorized, overflow-safe)
 # ---------------------------------------------------------------------------
@@ -527,6 +571,13 @@ def winnow_fingerprints(norm: bytes, gram_k: int, window: int) -> np.ndarray:
     """
     buf = np.frombuffer(norm, dtype=np.uint8)
     grams = fnv1a64_windows(buf, gram_k)
+    return winnow_select(grams, window)
+
+
+def winnow_select(grams: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing selection over a precomputed gram-hash sequence (the
+    batched stage-1 kernel computes all documents' grams in one FNV pass
+    and selects per document through this shared step)."""
     if grams.size == 0:
         return np.empty(0, dtype=np.uint64)
     if grams.size <= window:

@@ -24,7 +24,13 @@ from pyspark.sql import types as T
 
 from . import hashing as H
 from .config import DedupConfig
-from .features import doc_features, minhash_params, u64_to_i64, i64_to_u64
+from .features import (
+    batch_doc_features,
+    doc_features,
+    minhash_params,
+    u64_to_i64,
+    i64_to_u64,
+)
 
 # ---------------------------------------------------------------------------
 # fixed schemas (§1.2: every stage declares its StructType, never inferred)
@@ -74,11 +80,49 @@ SUBSTR_SCHEMA = T.StructType(
 def make_signatures_fn(cfg: DedupConfig):
     """mapInPandas fn for stage 1. The (a, b) MinHash coefficients are
     derived from cfg.seed inside each worker (cheap, deterministic) rather
-    than broadcast — no closure-captured arrays to serialize."""
+    than broadcast — no closure-captured arrays to serialize.
+
+    The scale path (char shingles + OPH, the DEFAULT config) runs the
+    whole Arrow batch through `features.batch_doc_features` — one
+    vectorized NumPy pass per feature family across ALL documents of the
+    batch instead of a per-document Python loop (VERDICT r2 perf item:
+    the per-doc call overhead had become a visible fraction of stage-1
+    cost). Other modes (word shingles, classic kxu MinHash) keep the
+    per-doc kernel; outputs are bit-identical either way
+    (tests/test_batchkernel.py)."""
+    batched = cfg.shingle_mode == "char" and cfg.minhash_scheme == "oph"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = minhash_params(cfg)
         for pdf in batches:
+            if batched:
+                bf = batch_doc_features(pdf["text"].tolist(), cfg, a, b)
+                if bf is None:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "url": pd.Series(
+                            pdf["url"].to_numpy()[bf.keep], dtype=object
+                        ),
+                        "minhash": pd.Series(
+                            list(bf.minhash.view(np.int64)), dtype=object
+                        ),
+                        "runnerup": pd.Series(
+                            list(bf.runnerup.view(np.int64)), dtype=object
+                        ),
+                        "simhash": pd.Series(
+                            bf.simhash.view(np.int64), dtype=np.int64
+                        ),
+                        "n_shingles": pd.Series(bf.n_shingles, dtype=np.int32),
+                        "n_tokens": pd.Series(bf.n_tokens, dtype=np.int32),
+                        "text_sha": pd.Series(bf.text_sha, dtype=object),
+                        "fingerprints": pd.Series(
+                            [u64_to_i64(f) for f in bf.fingerprints],
+                            dtype=object,
+                        ),
+                    }
+                )
+                continue
             urls, minhs, runs, sims, nsh, ntok, shas, fps = [], [], [], [], [], [], [], []
             for url, text in zip(pdf["url"].to_numpy(), pdf["text"].to_numpy()):
                 f = doc_features(text, cfg, a, b)
