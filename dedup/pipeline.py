@@ -80,8 +80,9 @@ def run_in_memory(
     for the driver contract / small interactive runs. Signatures and
     buckets are cached (each feeds two consumers); CC still localCheckpoints
     per iteration internally."""
-    sigs = stages.stage1_signatures(pages, cfg).cache()
-    buckets = stages.stage2_buckets(sigs, cfg)
+    fused = stages.stage12_fused(pages, cfg).cache()
+    sigs = stages.signatures_from_fused(fused)
+    buckets = stages.buckets_from_fused(fused)
     cand = stages.stage3_candidates(sigs, buckets, cfg)
     candidates = cand.candidates.cache()
     dropped = cand.dropped_buckets.cache()
@@ -202,13 +203,36 @@ def run(
         return _finish()
 
     pages_t = wh.read(spark, "pages")
-    if do_stage("signatures", lambda: stages.stage1_signatures(pages_t, cfg)):
-        return _finish()
+    # Fused stage 1+2 (stages.stage12_fused): when neither table is
+    # committed yet, ONE Arrow pass computes both; the signatures write
+    # materializes the fused relation into executor storage and the
+    # buckets write is a JVM explode over that cache. A resumed run with
+    # signatures already committed falls back to the separate stage-2
+    # pass over the committed table (same values either way).
+    need_sig = not (resume and wh.is_complete("signatures"))
+    need_buk = not (resume and wh.is_complete("buckets"))
+    if need_sig:
+        from pyspark import StorageLevel
+
+        fused = stages.stage12_fused(pages_t, cfg).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        stop = do_stage(
+            "signatures", lambda: stages.signatures_from_fused(fused)
+        )
+        if not stop and need_buk:
+            stop = do_stage("buckets", lambda: stages.buckets_from_fused(fused))
+        fused.unpersist()
+        if stop:
+            return _finish()
+    else:
+        if do_stage("signatures", lambda: None):  # committed: records skip
+            return _finish()
+        sigs_c = wh.read(spark, "signatures")
+        if do_stage("buckets", lambda: stages.stage2_buckets(sigs_c, cfg)):
+            return _finish()
 
     sigs = wh.read(spark, "signatures")
-    if do_stage("buckets", lambda: stages.stage2_buckets(sigs, cfg)):
-        return _finish()
-
     buckets = wh.read(spark, "buckets")
     cand_out: list[stages.CandidateOut] = []
 
@@ -217,29 +241,57 @@ def run(
         cand_out.append(out)
         return out.candidates
 
+    def build_dropped() -> DataFrame:
+        if not cand_out:
+            _remember(cand_out, stages.stage3_candidates(sigs, buckets, cfg))
+        return cand_out[0].dropped_buckets
+
     stop = do_stage("candidate_pairs", build_cands)
+    dropped_async: list[threading.Thread | BaseException] = []
     if not stop:
-        stop = do_stage(
-            "dropped_buckets",
-            lambda: (
-                cand_out[0].dropped_buckets
-                if cand_out
-                else _remember(cand_out, stages.stage3_candidates(sigs, buckets, cfg)).dropped_buckets
-            ),
-        )
-    # both consumers of the persisted entries/counts relations are
-    # materialized (or skipped) — release executor memory before verify/CC
-    if cand_out:
-        cand_out[0].entries.unpersist()
-        cand_out[0].counts.unpersist()
+        if stop_after == "dropped_buckets" or (
+            resume and wh.is_complete("dropped_buckets")
+        ) or not cand_out:
+            stop = do_stage("dropped_buckets", build_dropped)
+        else:
+            # The dropped-buckets table is a filter over the persisted
+            # counts relation and nothing downstream reads it — write it
+            # concurrently with the verify stage instead of serializing a
+            # (tiny) commit barrier into the critical path.
+            def _dropped_bg():
+                try:
+                    do_stage("dropped_buckets", build_dropped)
+                except BaseException as exc:  # re-raised at join
+                    dropped_async.append(exc)
+
+            th = threading.Thread(target=_dropped_bg, daemon=True)
+            dropped_async.insert(0, th)
+            th.start()
+
+    def _join_cand() -> None:
+        """Join the overlapped dropped-buckets write, re-raise its
+        failure, and release the persisted stage-3 intermediates."""
+        for item in dropped_async:
+            if isinstance(item, threading.Thread):
+                item.join()
+        for item in dropped_async:
+            if isinstance(item, BaseException):
+                raise item
+        if cand_out:
+            cand_out[0].entries.unpersist()
+            cand_out[0].counts.unpersist()
+
     if stop:
+        _join_cand()
         return _finish()
 
     cands = wh.read(spark, "candidate_pairs")
-    if do_stage(
+    stop = do_stage(
         "verified_pairs",
         lambda: stages.stage4_verify(cands, sigs, pages_t, cfg),
-    ):
+    )
+    _join_cand()
+    if stop:
         return _finish()
 
     verified = wh.read(spark, "verified_pairs")

