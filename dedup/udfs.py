@@ -169,13 +169,27 @@ def make_signatures_fn(cfg: DedupConfig):
     return fn
 
 
-def _bucket_arrays(minh: np.ndarray, run: np.ndarray, cfg: DedupConfig):
+def _bucket_arrays(
+    minh: np.ndarray, run: np.ndarray, cfg: DedupConfig, keys=None
+):
     """Per-document bucket-entry arrays (band, key, is_probe, rank) for a
     batch: home keys + [MPLSH §4.1] probe keys, identical values to
     make_buckets_fn, but grouped per doc so the fused stage-1+2 UDF can
     emit them as array columns (one JVM explode replaces the second Arrow
-    round-trip of a separate stage 2)."""
+    round-trip of a separate stage 2).
+
+    `keys` (optional): per-doc text_sha. Equal key => equal text => equal
+    signature => identical bucket entries, so the probe-sequence heap —
+    the costliest per-doc step of the whole pipeline — runs once per
+    DISTINCT document and fans out (exact; duplicates dominate dedup
+    corpora by definition)."""
     n = minh.shape[0]
+    if keys is not None and n:
+        codes, uniques = pd.factorize(np.asarray(keys, dtype=object))
+        if len(uniques) < n:
+            _, first = np.unique(codes, return_index=True)
+            ub = _bucket_arrays(minh[first], run[first], cfg)
+            return tuple([comp[c] for c in codes] for comp in ub)
     bands = cfg.bands
     home = H.band_keys_batch(minh, bands, cfg.rows_per_band).view(np.int64)
     if cfg.probes > 1:
@@ -231,7 +245,9 @@ def make_fused_fn(cfg: DedupConfig):
             if out is None:
                 continue
             cols, minh, run = out
-            bb, bk, bp, br = _bucket_arrays(minh, run, cfg)
+            bb, bk, bp, br = _bucket_arrays(
+                minh, run, cfg, keys=cols["text_sha"].tolist()
+            )
             cols["b_band"] = pd.Series(bb, dtype=object)
             cols["b_key"] = pd.Series(bk, dtype=object)
             cols["b_probe"] = pd.Series(bp, dtype=object)
