@@ -125,7 +125,12 @@ class Warehouse:
         os.replace(tmp, os.path.join(out, MANIFEST))
         return manifest
 
-    def replace(self, df: DataFrame, table: str) -> dict:
+    def replace(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Optional[list[str]] = None,
+    ) -> dict:
         """Atomically replace an already-committed table (the increment
         path rewrites the global clusters/canonical_pages views): write a
         fresh generation directory `<table>__gen_<run_id>`, commit its
@@ -142,7 +147,7 @@ class Warehouse:
         gen_path = os.path.join(self.root, gen)
         if os.path.exists(gen_path):  # leftover from a crashed attempt
             shutil.rmtree(gen_path)
-        manifest = self.write(df, gen)
+        manifest = self.write(df, gen, partition_by=partition_by)
         tmp = self._pointer_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"dir": gen, "run_id": self.run_id}, f)

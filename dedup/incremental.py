@@ -112,15 +112,22 @@ def run_incremental(
     if dup_urls.count() > 0:
         raise ValueError("new_pages contains urls already present in the base run")
 
+    def pages_with_day() -> DataFrame:
+        # delta pages mirror the base snapshot's warc_day partitioning so
+        # the unioned global view stays schema-identical and day-prunable
+        if "warc_day" in new_pages.columns or "warc_ts" not in new_pages.columns:
+            return new_pages
+        return new_pages.withColumn("warc_day", F.to_date("warc_ts"))
+
     delta = f"delta_{wh.run_id}"
-    for delta_t, build in (
-        (f"pages_{delta}", lambda: new_pages),
+    for delta_t, build, part in (
+        (f"pages_{delta}", pages_with_day, ["warc_day"]),
         (f"signatures_{delta}", lambda: stages.stage1_signatures(
-            wh.read(spark, f"pages_{delta}"), cfg)),
+            wh.read(spark, f"pages_{delta}"), cfg), None),
         (f"buckets_{delta}", lambda: stages.stage2_buckets(
-            wh.read(spark, f"signatures_{delta}"), cfg)),
+            wh.read(spark, f"signatures_{delta}"), cfg), None),
     ):
-        wh.write(build(), delta_t)
+        wh.write(build(), delta_t, partition_by=part)
         wh.register_delta(delta_t.rsplit("_delta_", 1)[0], delta_t)
     new_pages = wh.read(spark, f"pages_{delta}")
     sig_new = wh.read(spark, f"signatures_{delta}")
@@ -155,7 +162,13 @@ def run_incremental(
     wh.replace(clusters, "clusters")
     clusters = wh.read(spark, "clusters")
     canonical = stages.stage6_canonical(clusters, pages_all)
-    wh.replace(canonical, "canonical_pages")
+    wh.replace(
+        canonical,
+        "canonical_pages",
+        partition_by=(
+            ["warc_day"] if "warc_day" in canonical.columns else None
+        ),
+    )
 
     return {
         "signatures_delta": sig_new,

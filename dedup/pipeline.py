@@ -198,8 +198,22 @@ def run(
         return res
 
     # stage 0: snapshot the input (the Iceberg table stand-in; byte-identity
-    # of `text` is checked against THIS table by the invariant tests)
-    if do_stage("pages", lambda: pages):
+    # of `text` is checked against THIS table by the invariant tests).
+    # The snapshot is partitioned by warc_day — the filesystem stand-in
+    # for Iceberg's days(warc_ts) partition transform (SURVEY §2.7 F10):
+    # incremental window reads prune to the matching day directories
+    # (plan-asserted in tests/test_partitioning.py).
+    def build_pages() -> DataFrame:
+        if "warc_day" in pages.columns or "warc_ts" not in pages.columns:
+            return pages
+        return pages.withColumn("warc_day", F.to_date("warc_ts"))
+
+    pages_partition = (
+        ["warc_day"]
+        if ("warc_ts" in pages.columns or "warc_day" in pages.columns)
+        else None
+    )
+    if do_stage("pages", build_pages, partition_by=pages_partition):
         return _finish()
 
     pages_t = wh.read(spark, "pages")
@@ -309,6 +323,9 @@ def run(
     if do_stage(
         "canonical_pages",
         lambda: stages.stage6_canonical(clusters, pages_t),
+        partition_by=(
+            ["warc_day"] if "warc_day" in pages_t.columns else None
+        ),
     ):
         return _finish()
     return _finish()

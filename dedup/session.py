@@ -65,10 +65,13 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Small bins: stage 1/2 are CPU-heavy per byte (~0.7 us/byte of
         # Arrow-UDF work), so 128m file bins would starve the cores on
-        # modest corpora — 4m bins keep every core fed. Production
-        # clusters with TB-scale inputs override this via --conf.
-        .config("spark.sql.files.maxPartitionBytes", "4m")
-        .config("spark.sql.files.openCostInBytes", "256k")
+        # modest corpora — 1m bins keep every core fed (measured: 4m bins
+        # coalesced the rep12 snapshot's ~1 MB files into ~6 splits, so
+        # the signature stage ran 6-wide on 8 cores and scaled 2.3x
+        # instead of ~4x from 2->8 workers). Production clusters with
+        # TB-scale inputs override this via --conf.
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "64k")
         # keep AQE from coalescing CPU-bearing shuffle stages below core
         # count: target smaller post-shuffle partitions on small corpora
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")

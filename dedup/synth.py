@@ -243,16 +243,18 @@ def corpus_nbytes(corpus: SynthCorpus) -> int:
 def snapshot_partitions(
     total_bytes: int,
     target_file_bytes: int = 8 << 20,
-    lo: int = 16,
+    lo: int = 32,
     hi: int = 1 << 20,
 ) -> int:
     """Partition count for the input snapshot, scaled by DATA SIZE (target
     file size), not a fixed file count — a layout constant like 64 is an
     sf0.1 artifact that breaks at 100x the data (VERDICT r1 "what's
     wrong" #4). The 8 MB sandbox target keeps every core fed through the
-    CPU-heavy stage-1 scan (mapInPandas inherits scan splits); production
-    clusters pass target_file_bytes=128<<20 (jobs/run_dedup.py
-    --target-file-mb). Deliberately independent of the writing cluster's
+    CPU-heavy stage-1 scan (mapInPandas inherits scan splits); the `lo`
+    floor of 32 guarantees at least one split per core on the widest
+    sandbox leg (local[32]) even when the byte-scaled count is tiny.
+    Production clusters pass target_file_bytes=128<<20
+    (jobs/run_dedup.py --target-file-mb). Deliberately independent of the writing cluster's
     size so the layout is reproducible across cluster shapes. `hi` is a
     runaway backstop (2^20 files), far above any byte-scaled result at
     the design point (100 TB / 128 MB = ~800k files), not a layout

@@ -65,12 +65,20 @@ def main() -> None:
             )
             # Snapshot layout scales with input BYTES (target file size),
             # not a fixed file count, and stays independent of which
-            # cluster size wrote it (reproducible layout).
+            # cluster size wrote it (reproducible layout). Partitioned by
+            # warc_day (the days(warc_ts) stand-in); the range
+            # repartition keeps one writer task per (day, url) range so
+            # day partitioning doesn't multiply the file count.
             n_parts = snapshot_partitions(
                 corpus_nbytes(corpus) * args.replicate,
                 target_file_bytes=args.target_file_mb << 20,
             )
-            wh.write(pages.repartition(n_parts), "pages")
+            pages = pages.withColumn("warc_day", F.to_date("warc_ts"))
+            wh.write(
+                pages.repartitionByRange(n_parts, "warc_day", "url"),
+                "pages",
+                partition_by=["warc_day"],
+            )
         pages = wh.read(spark, "pages")
         n_docs = pages.count()
 
