@@ -95,6 +95,52 @@ def _checkpoint_with_fingerprint(edges: DataFrame) -> tuple[DataFrame, tuple[int
     return out, (int(got["n"] or 0), int(got["h"] or 0))
 
 
+def connected_components_contracted(
+    dup_pairs: DataFrame,
+    all_nodes: DataFrame,
+    sha_map: DataFrame,
+    cfg: DedupConfig,
+) -> DataFrame:
+    """Exact-duplicate contraction before CC (the 100 TB move: on real
+    crawls 30-60% of docs are byte-identical; the replicated bench corpus
+    is 94%). All urls sharing a `text_sha` collapse to their min-url
+    representative; CC runs over representative edges only; members
+    inherit their representative's cluster id.
+
+    Exactness: the sha tier emits star pairs for every sha group, and
+    sha_equal pairs are always dup edges (stages.stage4_verify), so each
+    sha group is connected in `dup_pairs` — contracting it quotients by a
+    relation FINER than connectivity, and the quotient partition lifts
+    back exactly. `cluster_id = min url in component` is preserved
+    because each representative is the min url of its group, so the min
+    over representatives equals the min over all urls. The parity suite
+    (identical cluster partition vs the union-find oracle) gates this.
+
+    sha_map: DataFrame[url, text_sha] (the signatures table).
+    """
+    rep = sha_map.groupBy("text_sha").agg(F.min("url").alias("rep"))
+    urlrep = sha_map.join(rep, "text_sha").select("url", "rep")
+    a = urlrep.select(F.col("url").alias("url_a"), F.col("rep").alias("rep_a"))
+    b = urlrep.select(F.col("url").alias("url_b"), F.col("rep").alias("rep_b"))
+    redges = (
+        dup_pairs.join(a, "url_a")
+        .join(b, "url_b")
+        .select(F.col("rep_a").alias("url_a"), F.col("rep_b").alias("url_b"))
+        .where(F.col("url_a") != F.col("url_b"))
+        .distinct()
+    )
+    reps = urlrep.select(F.col("rep").alias("url")).distinct()
+    rep_clusters = connected_components(redges, reps, cfg)
+    mapped = urlrep.join(
+        rep_clusters.withColumnRenamed("url", "rep"), "rep"
+    ).select("url", "cluster_id")
+    return (
+        all_nodes.select("url")
+        .join(mapped, "url", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("url")))
+    )
+
+
 def connected_components(
     dup_pairs: DataFrame, all_nodes: DataFrame, cfg: DedupConfig
 ) -> DataFrame:

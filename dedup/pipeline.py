@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import stages
 from .catalog import Warehouse
-from .cc import connected_components
+from .cc import connected_components, connected_components_contracted
 from .config import DedupConfig
 
 STAGE_ORDER = [
@@ -95,9 +95,10 @@ def run_in_memory(
     cand.entries.unpersist()
     cand.counts.unpersist()
     verified = stages.stage4_verify(candidates, sigs, pages, cfg).cache()
-    clusters = connected_components(
+    clusters = connected_components_contracted(
         verified.filter("is_dup").select("url_a", "url_b"),
         pages.select("url"),
+        sigs.select("url", "text_sha"),
         cfg,
     )
     return {
@@ -311,9 +312,10 @@ def run(
     verified = wh.read(spark, "verified_pairs")
     if do_stage(
         "clusters",
-        lambda: connected_components(
+        lambda: connected_components_contracted(
             verified.filter("is_dup").select("url_a", "url_b"),
             pages_t.select("url"),
+            sigs.select("url", "text_sha"),
             cfg,
         ),
     ):
