@@ -684,6 +684,11 @@ def _dedup_stage(table: str):
         # DataFrames bound to a stopped context.
         key = (spark.sparkContext.applicationId, sf_dir)
         if key not in _PIPELINE_CACHE:
+            # evict entries from other (stopped/replaced) sessions: their
+            # DataFrames are unusable and would otherwise pin references
+            # for the life of a long-running service process
+            for stale in [k for k in _PIPELINE_CACHE if k[0] != key[0]]:
+                del _PIPELINE_CACHE[stale]
             pages = load_pages_spark(spark, sf_dir)
             _PIPELINE_CACHE[key] = run_in_memory(spark, pages, DEFAULT)
         out = _PIPELINE_CACHE[key]

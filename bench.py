@@ -56,8 +56,15 @@ def main() -> None:
         pages_in = load_pages_spark(
             spark, args.sf_dir, replicate=args.replicate, corpus=corpus
         )
+        from pyspark.sql import functions as F
+
         n_parts = snapshot_partitions(corpus_nbytes(corpus) * args.replicate)
-        wh0.write(pages_in.repartition(n_parts), "pages")
+        pages_in = pages_in.withColumn("warc_day", F.to_date("warc_ts"))
+        wh0.write(
+            pages_in.repartitionByRange(n_parts, "warc_day", "url"),
+            "pages",
+            partition_by=["warc_day"],
+        )
         pages = wh0.read(spark, "pages")
         n_docs = pages.count()
         timings["synth_and_load"] = round(time.monotonic() - t0, 2)

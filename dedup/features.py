@@ -200,7 +200,7 @@ def _batch_features_unique(texts, cfg: DedupConfig, a, b):
         H.mulmod61(np.full(x.shape, a[0], dtype=np.uint64), x) + np.uint64(b[0])
     )
     bins = (hu >> np.uint64(61 - log2k)).astype(np.int64)
-    ht = hu >> np.uint64(29)  # 32-bit slot truncation (see hashing.py)
+    ht = hu >> np.uint64(30)  # 31-bit slot truncation (see hashing.py)
     o2 = np.lexsort((ht, bins, doc_u))
     d2, b2, h2 = doc_u[o2], bins[o2], ht[o2]
     gfirst = np.ones(h2.size, dtype=bool)
@@ -229,7 +229,7 @@ def _batch_features_unique(texts, cfg: DedupConfig, a, b):
         nxtb = np.where(wrap, first_filled[de], nxt)
         dist = np.where(wrap, nxtb + K - ee, nxtb - ee).astype(np.uint64)
         dval = (minh[de, nxtb] + dist * np.uint64(0x01000193)) & np.uint64(
-            0xFFFFFFFF
+            0x7FFFFFFF
         )
         minh[de, ee] = dval
         runner[de, ee] = dval

@@ -274,9 +274,10 @@ def oph_minhash_with_runnerup(
     space is split into k bins by the top bits (k must be a power of two);
     slot j = min hash in bin j, runner-up = second min (gap 0 when the bin
     has < 2 values, so multi-probe never perturbs it — same convention as
-    the K-hash scheme). Slot values are truncated to 32 bits (h >> 29,
-    monotonic — see inline comment) so signature arrays compress to half
-    the wire/storage bytes. Empty bins are filled by rotation densification
+    the K-hash scheme). Slot values are truncated to 31 bits (h >> 30,
+    monotonic — see inline comment) so signature arrays fit a SIGNED
+    32-bit integer: the verify stage casts them to array<int> before its
+    joins, halving the pipeline's dominant shuffle payload. Empty bins are filled by rotation densification
     (Shrivastava & Li, ICML 2014): borrow the next non-empty bin to the
     right (circular) offset by distance*FNV_PRIME (wrapping uint64), so
     two docs agree on a densified slot iff they agree on the borrowed bin
@@ -291,14 +292,16 @@ def oph_minhash_with_runnerup(
     if (1 << log2k) != k:
         raise ValueError("one-permutation hashing requires power-of-two k")
     bins = (h >> np.uint64(61 - log2k)).astype(np.int64)  # 0..k-1
-    # Slot values are truncated to 32 bits (top bits below the bin field).
-    # Truncation >>29 is monotonic, so per-bin min/runner-up semantics are
+    # Slot values are truncated to 31 bits (top bits below the bin field).
+    # Truncation >>30 is monotonic, so per-bin min/runner-up semantics are
     # unchanged; equal-slot collisions between different hashes add only
-    # ~K/2^32 bias to the Jaccard estimate. The payoff at scale: signature
-    # arrays are the pipeline's dominant shuffle payload (stage-4 verify
-    # joins them to every candidate pair), and 32-bit values halve their
-    # compressed wire/storage size.
-    h = h >> np.uint64(29)
+    # ~K/2^31 bias to the Jaccard estimate (~6e-8 at K=128). The payoff
+    # at scale: signature arrays are the pipeline's dominant shuffle
+    # payload (stage-4 verify joins them to every candidate pair), and
+    # 31-bit values let verify shuffle array<int> — half the bytes of
+    # array<long> — while the stored signatures table keeps the
+    # schema-stable long arrays (the classic kxu scheme needs 61 bits).
+    h = h >> np.uint64(30)
     order = np.lexsort((h, bins))
     hb, bb = h[order], bins[order]
     first = np.ones(hb.size, dtype=bool)
@@ -321,9 +324,9 @@ def oph_minhash_with_runnerup(
         wrap = pos == occ_bins.size
         nxt = occ_bins[np.where(wrap, 0, np.minimum(pos, occ_bins.size - 1))]
         dist = np.where(wrap, nxt + k - empty, nxt - empty).astype(np.uint64)
-        # offset by distance*FNV_PRIME32, wrapped into the same 32-bit
+        # offset by distance*FNV_PRIME32, wrapped into the same 31-bit
         # domain as the truncated slot values
-        dval = (minh[nxt] + dist * np.uint64(0x01000193)) & np.uint64(0xFFFFFFFF)
+        dval = (minh[nxt] + dist * np.uint64(0x01000193)) & np.uint64(0x7FFFFFFF)
         minh[empty] = dval
         runner[empty] = dval  # gap 0: densified slots are never perturbed
     return minh, runner

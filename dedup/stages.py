@@ -300,7 +300,18 @@ def stage4_verify(
                  OR (winnow-sourced AND shares a normalized substring
                      >= min_substr)
     """
-    sig = signatures.select("url", "minhash", "simhash", "text_sha")
+    mh_col = F.col("minhash")
+    if cfg.minhash_scheme == "oph":
+        # OPH slots are 31-bit values (hashing.oph_minhash_with_runnerup):
+        # shuffle them as array<int> — the minhash arrays attached to both
+        # pair sides are this stage's dominant shuffle payload, and the
+        # narrow cast halves it. Equality-count Jaccard is representation-
+        # independent; the stored table keeps schema-stable long arrays
+        # (the classic kxu scheme needs 61-bit values).
+        mh_col = F.col("minhash").cast("array<int>")
+    sig = signatures.select(
+        "url", mh_col.alias("minhash"), "simhash", "text_sha"
+    )
     sig_a = sig.select(
         F.col("url").alias("url_a"),
         F.col("minhash").alias("mh_a"),

@@ -47,14 +47,15 @@ def test_oph_runnerup_and_densification():
     x = H.mod61(s)
     h = H.mod61(H.mulmod61(np.full(x.shape, A[0], dtype=np.uint64), x) + B[0])
     bins = (h >> np.uint64(54)).astype(np.int64)
-    h32 = h >> np.uint64(29)  # the kernel's 32-bit slot truncation
+    h32 = h >> np.uint64(30)  # the kernel's 31-bit slot truncation
     occupied = np.unique(bins)
     filled = np.zeros(128, dtype=bool)
     filled[occupied] = True
     assert np.all(run[filled] >= minh[filled])
     assert np.array_equal(run[~filled], minh[~filled])
-    # every slot value fits the 32-bit domain (the shuffle-size guarantee)
-    assert np.all(minh < (1 << 32)) and np.all(run < (1 << 32))
+    # every slot value fits a SIGNED 32-bit int (the verify-stage
+    # array<int> shuffle-narrowing guarantee)
+    assert np.all(minh < (1 << 31)) and np.all(run < (1 << 31))
     # occupied-bin slots are the truncated bin minima of the raw hash
     for b_ in occupied:
         vals = np.sort(h32[bins == b_])
