@@ -95,12 +95,16 @@ def run_in_memory(
     cand.entries.unpersist()
     cand.counts.unpersist()
     verified = stages.stage4_verify(candidates, sigs, pages, cfg).cache()
-    clusters = connected_components_contracted(
-        verified.filter("is_dup").select("url_a", "url_b"),
-        pages.select("url"),
-        sigs.select("url", "text_sha"),
-        cfg,
-    )
+    dup = verified.filter("is_dup").select("url_a", "url_b")
+    # Size-based plan choice (same rule as run()): the exact-dup
+    # contraction pays two extra joins, worth it only when pairs dwarf
+    # docs (dup-heavy corpora — the regime it exists for).
+    if verified.count() > 8 * pages.select("url").count():
+        clusters = connected_components_contracted(
+            dup, pages.select("url"), sigs.select("url", "text_sha"), cfg
+        )
+    else:
+        clusters = connected_components(dup, pages.select("url"), cfg)
     return {
         "signatures": sigs,
         "buckets": buckets,
@@ -310,15 +314,23 @@ def run(
         return _finish()
 
     verified = wh.read(spark, "verified_pairs")
-    if do_stage(
-        "clusters",
-        lambda: connected_components_contracted(
-            verified.filter("is_dup").select("url_a", "url_b"),
-            pages_t.select("url"),
-            sigs.select("url", "text_sha"),
-            cfg,
-        ),
-    ):
+
+    def build_clusters() -> DataFrame:
+        dup = verified.filter("is_dup").select("url_a", "url_b")
+        # Size-based plan choice, from committed manifests (no extra
+        # jobs): the exact-dup contraction costs two extra joins and a
+        # second CC input prep, which only pays when pairs dwarf docs —
+        # the dup-heavy regime it exists for (the replicated bench corpus
+        # runs ~32 pairs/doc; a lightly-duplicated corpus runs ~3).
+        n_pairs = (wh._read_manifest("verified_pairs") or {}).get("rows", 0)
+        n_docs = max(1, (wh._read_manifest("pages") or {}).get("rows", 1))
+        if n_pairs > 8 * n_docs:
+            return connected_components_contracted(
+                dup, pages_t.select("url"), sigs.select("url", "text_sha"), cfg
+            )
+        return connected_components(dup, pages_t.select("url"), cfg)
+
+    if do_stage("clusters", build_clusters):
         return _finish()
 
     clusters = wh.read(spark, "clusters")

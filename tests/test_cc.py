@@ -61,3 +61,40 @@ def test_cc_single_giant_chain(spark):
     edges_df = spark.createDataFrame(pd.DataFrame(edges, columns=["url_a", "url_b"]))
     got = connected_components(edges_df, nodes_df, DEFAULT).toPandas()
     assert set(got["cluster_id"]) == {"c0000"}
+
+
+def test_contracted_cc_equals_plain_cc(spark):
+    """The exact-dup contraction (sha groups -> min-url reps) must give
+    the SAME partition and cluster ids as plain CC whenever its
+    precondition holds (each sha group is a clique via star edges — the
+    sha tier guarantees this in the pipeline)."""
+    from dedup.cc import connected_components_contracted
+
+    rng = np.random.default_rng(7)
+    # 30 sha groups of 1-8 members; every member carries its group's sha
+    nodes, shas, stars = [], [], []
+    for g in range(30):
+        size = int(rng.integers(1, 9))
+        members = [f"g{g:02d}m{i}" for i in range(size)]
+        nodes += members
+        shas += [(m, f"sha{g:02d}") for m in members]
+        stars += [(members[0], m) for m in members[1:]]  # the sha star
+    # random cross-group near-dup edges
+    cross = [
+        (nodes[int(rng.integers(len(nodes)))], nodes[int(rng.integers(len(nodes)))])
+        for _ in range(40)
+    ]
+    edges = stars + cross
+    nodes_df = spark.createDataFrame(pd.DataFrame({"url": nodes}))
+    edges_df = spark.createDataFrame(pd.DataFrame(edges, columns=["url_a", "url_b"]))
+    sha_df = spark.createDataFrame(pd.DataFrame(shas, columns=["url", "text_sha"]))
+    plain = dict(
+        connected_components(edges_df, nodes_df, DEFAULT)
+        .toPandas()[["url", "cluster_id"]].values.tolist()
+    )
+    contracted = dict(
+        connected_components_contracted(edges_df, nodes_df, sha_df, DEFAULT)
+        .toPandas()[["url", "cluster_id"]].values.tolist()
+    )
+    assert contracted == plain
+    assert contracted == _oracle_partition(nodes, edges)
