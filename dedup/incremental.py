@@ -120,16 +120,22 @@ def run_incremental(
         return new_pages.withColumn("warc_day", F.to_date("warc_ts"))
 
     delta = f"delta_{wh.run_id}"
-    for delta_t, build, part in (
-        (f"pages_{delta}", pages_with_day, ["warc_day"]),
-        (f"signatures_{delta}", lambda: stages.stage1_signatures(
-            wh.read(spark, f"pages_{delta}"), cfg), None),
-        (f"buckets_{delta}", lambda: stages.stage2_buckets(
-            wh.read(spark, f"signatures_{delta}"), cfg), None),
-    ):
-        wh.write(build(), delta_t, partition_by=part)
-        wh.register_delta(delta_t.rsplit("_delta_", 1)[0], delta_t)
+    wh.write(pages_with_day(), f"pages_{delta}", partition_by=["warc_day"])
+    wh.register_delta("pages", f"pages_{delta}")
     new_pages = wh.read(spark, f"pages_{delta}")
+    # fused stage 1+2 on the new batch (same shape as pipeline.run): one
+    # Arrow pass computes both deltas; buckets is a JVM explode of the
+    # cached fused relation
+    from pyspark import StorageLevel
+
+    fused = stages.stage12_fused(new_pages, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wh.write(stages.signatures_from_fused(fused), f"signatures_{delta}")
+    wh.register_delta("signatures", f"signatures_{delta}")
+    wh.write(stages.buckets_from_fused(fused), f"buckets_{delta}")
+    wh.register_delta("buckets", f"buckets_{delta}")
+    fused.unpersist()
     sig_new = wh.read(spark, f"signatures_{delta}")
     buckets_new = wh.read(spark, f"buckets_{delta}")
 
