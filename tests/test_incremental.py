@@ -141,6 +141,32 @@ def test_increment_replaces_globals_atomically(runs, tmp_path_factory):
         assert os.path.exists(os.path.join(wh_root, t, "_MANIFEST.json"))
 
 
+def test_replace_protocol_edges(spark, tmp_path):
+    """Warehouse.replace: a plain write into a pointer-versioned table is
+    refused (that in-place overwrite is the crash hazard the pointer
+    removes), and a successful replace supersedes + deletes the previous
+    generation."""
+    import json
+    import os
+
+    from dedup.catalog import Warehouse
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    wh1 = Warehouse(root, "cfg", "run1")
+    df = spark.range(3).withColumnRenamed("id", "url")
+    wh1.replace(df, "clusters")  # first generation
+    ptr = os.path.join(root, "clusters.POINTER.json")
+    assert json.load(open(ptr))["dir"] == "clusters__gen_run1"
+    with pytest.raises(ValueError, match="pointer-versioned"):
+        wh1.write(df, "clusters")
+    wh2 = Warehouse(root, "cfg", "run2")
+    wh2.replace(df, "clusters")
+    assert json.load(open(ptr))["dir"] == "clusters__gen_run2"
+    assert not os.path.exists(os.path.join(root, "clusters__gen_run1"))
+    assert wh2.read(spark, "clusters").count() == 3
+
+
 def test_incremental_requires_completed_base(spark, split_corpus, tmp_path_factory):
     _base_pd, new_pd = split_corpus
     wh = str(tmp_path_factory.mktemp("wh_nobase"))
