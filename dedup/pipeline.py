@@ -152,19 +152,22 @@ def run(
     metrics_threads: list[threading.Thread] = []
     metrics_rows: list[dict] = []
 
-    def _remember(store: list, out):
-        store.append(out)
-        return out
+    def do_stage(name: str, build, partition_by=None, wall_add_ms: int = 0) -> bool:
+        """Returns True if the caller should stop (stop_after hit).
 
-    def do_stage(name: str, build, partition_by=None) -> bool:
-        """Returns True if the caller should stop (stop_after hit)."""
+        wall_add_ms: foreground compute time already spent materializing
+        this stage's relation (the pipelined-commit path materializes via
+        persist+count on the critical path and commits the table in a
+        background thread; the stage's metrics row should still carry
+        compute + write, not just the cache-read + file IO of the write).
+        """
         if resume and wh.is_complete(name):
             res.stages_skipped.append(name)
             return stop_after == name
         t0 = time.monotonic()
         df = build()
         manifest = wh.write(df, name, partition_by=partition_by)
-        wall_ms = int((time.monotonic() - t0) * 1000)
+        wall_ms = wall_add_ms + int((time.monotonic() - t0) * 1000)
 
         # Per-partition lineage harvest (footer scan) runs in a background
         # thread: stage k+1's Spark work overlaps stage k's metrics IO
@@ -194,9 +197,48 @@ def run(
         res.stages_run.append(name)
         return stop_after == name
 
+    # -- pipelined commits ---------------------------------------------------
+    # A stage's COMPUTE runs on the critical path (persist + count); its
+    # table write + manifest commit runs in a background thread while the
+    # next stage's compute proceeds from the cached relation. The committed
+    # table stays the resume boundary (a resumed run reads it back), but a
+    # healthy run never serializes behind file IO + commit barriers — the
+    # Amdahl serial fraction the N->4N scaling efficiency is most sensitive
+    # to (docs/SCALE.md). Background failures are re-raised at the next
+    # join point; every thread is joined before run() returns.
+    bg_threads: list[threading.Thread] = []
+    bg_errors: list[BaseException] = []
+    pinned = []  # persisted DataFrames to release before returning
+
+    def bg_commit(name: str, df, partition_by=None, wall_add_ms: int = 0):
+        def _w():
+            try:
+                do_stage(name, lambda: df, partition_by, wall_add_ms)
+            except BaseException as exc:
+                bg_errors.append(exc)
+
+        th = threading.Thread(target=_w, daemon=True)
+        th.start()
+        bg_threads.append(th)
+
+    def join_bg() -> None:
+        while bg_threads:
+            bg_threads.pop().join()
+        if bg_errors:
+            raise bg_errors[0]
+
+    def _unpin() -> None:
+        while pinned:
+            pinned.pop().unpersist()
+
     def _finish() -> RunResult:
+        for th in bg_threads:
+            th.join()
         for th in metrics_threads:
             th.join()
+        _unpin()
+        if bg_errors:
+            raise bg_errors[0]
         # S4: this run's metrics also land as a Spark-written parquet
         # table (one append per run, not per stage)
         wh.write_metrics_table(spark, metrics_rows)
@@ -221,125 +263,172 @@ def run(
     if do_stage("pages", build_pages, partition_by=pages_partition):
         return _finish()
 
-    pages_t = wh.read(spark, "pages")
-    # Fused stage 1+2 (stages.stage12_fused): when neither table is
-    # committed yet, ONE Arrow pass computes both; the signatures write
-    # materializes the fused relation into executor storage and the
-    # buckets write is a JVM explode over that cache. A resumed run with
-    # signatures already committed falls back to the separate stage-2
-    # pass over the committed table (same values either way).
-    need_sig = not (resume and wh.is_complete("signatures"))
-    need_buk = not (resume and wh.is_complete("buckets"))
-    if need_sig:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel
 
+    pages_t = wh.read(spark, "pages")
+
+    def committed(name: str) -> bool:
+        return resume and wh.is_complete(name)
+
+    # -- stages 1+2 (fused) -------------------------------------------------
+    # When neither table is committed, ONE Arrow pass (stages.stage12_fused)
+    # computes both; persist+count materializes it on the critical path and
+    # the signatures/buckets writes are background cache-read + file IO. A
+    # resumed run with signatures already committed falls back to the
+    # separate stage-2 pass over the committed table (same values either
+    # way; tests/test_resume.py covers the mix).
+    need_sig = not committed("signatures")
+    need_buk = not committed("buckets")
+    fused = None
+    if need_sig:
         fused = stages.stage12_fused(pages_t, cfg).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        stop = do_stage(
-            "signatures", lambda: stages.signatures_from_fused(fused)
-        )
-        if not stop and need_buk:
-            stop = do_stage("buckets", lambda: stages.buckets_from_fused(fused))
-        fused.unpersist()
-        if stop:
-            return _finish()
+        pinned.append(fused)
+        t0 = time.monotonic()
+        fused.count()
+        add = int((time.monotonic() - t0) * 1000)
+        bg_commit("signatures", stages.signatures_from_fused(fused), wall_add_ms=add)
     else:
-        if do_stage("signatures", lambda: None):  # committed: records skip
-            return _finish()
-        sigs_c = wh.read(spark, "signatures")
-        if do_stage("buckets", lambda: stages.stage2_buckets(sigs_c, cfg)):
-            return _finish()
-
-    sigs = wh.read(spark, "signatures")
-    buckets = wh.read(spark, "buckets")
-    cand_out: list[stages.CandidateOut] = []
-
-    def build_cands() -> DataFrame:
-        out = stages.stage3_candidates(sigs, buckets, cfg)
-        cand_out.append(out)
-        return out.candidates
-
-    def build_dropped() -> DataFrame:
-        if not cand_out:
-            _remember(cand_out, stages.stage3_candidates(sigs, buckets, cfg))
-        return cand_out[0].dropped_buckets
-
-    stop = do_stage("candidate_pairs", build_cands)
-    dropped_async: list[threading.Thread | BaseException] = []
-    if not stop:
-        if stop_after == "dropped_buckets" or (
-            resume and wh.is_complete("dropped_buckets")
-        ) or not cand_out:
-            stop = do_stage("dropped_buckets", build_dropped)
+        do_stage("signatures", None)  # records skip
+    if stop_after == "signatures":
+        return _finish()
+    if need_buk:
+        if fused is not None:
+            # cheap JVM explode over the fused cache — evaluated by the
+            # background write and (again, from cache) by stage 3
+            bg_commit("buckets", stages.buckets_from_fused(fused))
+            buckets = stages.buckets_from_fused(fused)
         else:
-            # The dropped-buckets table is a filter over the persisted
-            # counts relation and nothing downstream reads it — write it
-            # concurrently with the verify stage instead of serializing a
-            # (tiny) commit barrier into the critical path.
-            def _dropped_bg():
-                try:
-                    do_stage("dropped_buckets", build_dropped)
-                except BaseException as exc:  # re-raised at join
-                    dropped_async.append(exc)
-
-            th = threading.Thread(target=_dropped_bg, daemon=True)
-            dropped_async.insert(0, th)
-            th.start()
-
-    def _join_cand() -> None:
-        """Join the overlapped dropped-buckets write, re-raise its
-        failure, and release the persisted stage-3 intermediates."""
-        for item in dropped_async:
-            if isinstance(item, threading.Thread):
-                item.join()
-        for item in dropped_async:
-            if isinstance(item, BaseException):
-                raise item
-        if cand_out:
-            cand_out[0].entries.unpersist()
-            cand_out[0].counts.unpersist()
-
-    if stop:
-        _join_cand()
+            # rare resume shape (signatures committed, buckets not): the
+            # Arrow stage-2 pass would otherwise run twice (once for the
+            # write, once for stage 3) — commit in the foreground and read
+            # the committed table back instead
+            sigs_c = wh.read(spark, "signatures")
+            do_stage("buckets", lambda: stages.stage2_buckets(sigs_c, cfg))
+            buckets = wh.read(spark, "buckets")
+    else:
+        do_stage("buckets", None)
+        buckets = wh.read(spark, "buckets")
+    if stop_after == "buckets":
         return _finish()
 
-    cands = wh.read(spark, "candidate_pairs")
-    stop = do_stage(
-        "verified_pairs",
-        lambda: stages.stage4_verify(cands, sigs, pages_t, cfg),
+    sigs = (
+        stages.signatures_from_fused(fused)
+        if fused is not None
+        else wh.read(spark, "signatures")
     )
-    _join_cand()
-    if stop:
+
+    # -- stage 3 (candidates + dropped buckets) -----------------------------
+    if committed("candidate_pairs"):
+        do_stage("candidate_pairs", None)
+        cand_out = None
+        candidates = wh.read(spark, "candidate_pairs")
+    else:
+        cand_out = stages.stage3_candidates(sigs, buckets, cfg)
+        candidates = cand_out.candidates.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(candidates)
+        t0 = time.monotonic()
+        candidates.count()
+        add = int((time.monotonic() - t0) * 1000)
+        bg_commit("candidate_pairs", candidates, wall_add_ms=add)
+    if stop_after == "candidate_pairs":
+        if cand_out is not None:
+            join_bg()
+            cand_out.entries.unpersist()
+            cand_out.counts.unpersist()
         return _finish()
 
-    verified = wh.read(spark, "verified_pairs")
+    # The dropped-buckets table is a filter over stage 3's persisted counts
+    # relation and nothing downstream reads it — its write rides in the
+    # background too (recomputed from committed inputs if stage 3 was
+    # skipped on resume).
+    if committed("dropped_buckets"):
+        do_stage("dropped_buckets", None)
+    elif cand_out is not None:
+        bg_commit("dropped_buckets", cand_out.dropped_buckets)
+    else:
+        # resume shape: candidates committed, dropped not — recompute the
+        # counts pass from committed inputs, release its intermediates
+        cand2 = stages.stage3_candidates(sigs, buckets, cfg)
+        do_stage("dropped_buckets", lambda: cand2.dropped_buckets)
+        cand2.entries.unpersist()
+        cand2.counts.unpersist()
+    if stop_after == "dropped_buckets":
+        if cand_out is not None:
+            join_bg()
+            cand_out.entries.unpersist()
+            cand_out.counts.unpersist()
+        return _finish()
 
-    def build_clusters() -> DataFrame:
-        dup = verified.filter("is_dup").select("url_a", "url_b")
-        # Size-based plan choice, from committed manifests (no extra
-        # jobs): the exact-dup contraction costs two extra joins and a
-        # second CC input prep, which only pays when pairs dwarf docs —
-        # the dup-heavy regime it exists for (the replicated bench corpus
-        # runs ~32 pairs/doc; a lightly-duplicated corpus runs ~3).
+    # -- stage 4 (verify) ---------------------------------------------------
+    # By the time verify's (long) compute finishes, every upstream write
+    # has landed; join_bg() after materialization re-raises any background
+    # failure and lets the stage-3 intermediates + fused cache go.
+    if committed("verified_pairs"):
+        do_stage("verified_pairs", None)
+        join_bg()
+        verified = wh.read(spark, "verified_pairs")
         n_pairs = (wh._read_manifest("verified_pairs") or {}).get("rows", 0)
-        n_docs = max(1, (wh._read_manifest("pages") or {}).get("rows", 1))
-        if n_pairs > 8 * n_docs:
-            return connected_components_contracted(
-                dup, pages_t.select("url"), sigs.select("url", "text_sha"), cfg
-            )
-        return connected_components(dup, pages_t.select("url"), cfg)
-
-    if do_stage("clusters", build_clusters):
+    else:
+        verified = stages.stage4_verify(candidates, sigs, pages_t, cfg).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        pinned.append(verified)
+        t0 = time.monotonic()
+        n_pairs = verified.count()
+        add = int((time.monotonic() - t0) * 1000)
+        join_bg()
+        bg_commit("verified_pairs", verified, wall_add_ms=add)
+    if cand_out is not None:
+        cand_out.entries.unpersist()
+        cand_out.counts.unpersist()
+    if stop_after == "verified_pairs":
         return _finish()
 
-    clusters = wh.read(spark, "clusters")
-    if do_stage(
+    # -- stage 5 (clusters) -------------------------------------------------
+    # The contracted path's sha_map reads the committed signatures table
+    # (its write joined above) so the fused cache can be released before
+    # the CC iteration chain starts.
+    sigs_com = wh.read(spark, "signatures")
+    if fused is not None:
+        fused.unpersist()
+        pinned.remove(fused)
+
+    if committed("clusters"):
+        do_stage("clusters", None)
+        join_bg()
+        clusters = wh.read(spark, "clusters")
+    else:
+        dup = verified.filter("is_dup").select("url_a", "url_b")
+        # Size-based plan choice: the exact-dup contraction costs two
+        # extra joins and a second CC input prep, which only pays when
+        # pairs dwarf docs — the dup-heavy regime it exists for (the
+        # replicated bench corpus runs ~32 pairs/doc; a lightly-duplicated
+        # corpus runs ~3).
+        n_docs = max(1, (wh._read_manifest("pages") or {}).get("rows", 1))
+        t0 = time.monotonic()
+        if n_pairs > 8 * n_docs:
+            clusters = connected_components_contracted(
+                dup, pages_t.select("url"), sigs_com.select("url", "text_sha"), cfg
+            )
+        else:
+            clusters = connected_components(dup, pages_t.select("url"), cfg)
+        clusters = clusters.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(clusters)
+        clusters.count()
+        add = int((time.monotonic() - t0) * 1000)
+        bg_commit("clusters", clusters, wall_add_ms=add)
+    if stop_after == "clusters":
+        return _finish()
+
+    # -- stage 6 (canonical) ------------------------------------------------
+    # Last table: nothing overlaps it, so it commits in the foreground.
+    do_stage(
         "canonical_pages",
         lambda: stages.stage6_canonical(clusters, pages_t),
         partition_by=(
             ["warc_day"] if "warc_day" in pages_t.columns else None
         ),
-    ):
-        return _finish()
+    )
     return _finish()
