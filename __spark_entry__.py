@@ -648,6 +648,26 @@ def _mplsh_knn(spark, sf_dir):
     return mplsh_topk(e, MplshConfig(), k=5, query_filter=F.col("vec_id") < 5)
 
 
+def _ivf_knn(spark, sf_dir):
+    """IVF (inverted-file) ANN — the centroid-partitioned similarity-
+    search tier next to the LSH-bucketed ones (mplsh_knn, ann_hyperplane):
+    seeded NumPy k-means on a bounded driver-side sample, Arrow-batch
+    nearest-centroid assignment to a (vec_id, cid) inverted file, n_probe
+    posting lists per query, hot-list cap, exact JVM re-rank (dedup/
+    ivf.py). k-means training is not SQL-expressible, so the DuckDB twin
+    SELECTs the materialized single-process NumPy reference search
+    (contract_oracle `ivf_topk`); additionally gated by tests/test_ivf.py
+    (exact Spark-vs-reference parity + recall >= 0.9 at <= 2% candidate
+    fraction in the planted-cluster scale configuration)."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+    from dedup.ivf import IvfConfig, ivf_topk
+
+    ensure_cache(sf_dir, DEFAULT)  # materialize the twin's reference table
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, IvfConfig(), k=5, query_filter=F.col("vec_id") < 5)
+
+
 # ---------------------------------------------------------------------------
 # dedup-pipeline queries. Each is twinned against DuckDB SQL over the NumPy
 # oracle's materialized stage tables (dedup/contract_oracle.py):
@@ -749,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": _cosine_near_dup,
         "ann_hyperplane": _ann_hyperplane,  # SQL-twinned; recall pytest-gated too
         "mplsh_knn": _mplsh_knn,  # twinned vs materialized NumPy reference
+        "ivf_knn": _ivf_knn,  # twinned vs materialized NumPy reference
         "langid_score": _langid_score,
         "html_stats": _html_stats,
         "doc_fingerprint": _doc_fingerprint,
@@ -1062,6 +1083,10 @@ def oracle_sql() -> dict[str, str]:
         "modality_features": f"""
             SELECT url, n_bytes, entropy, magic, fake_width, fake_height
             FROM read_parquet('{_cache01}/modality_features.parquet')
+        """,
+        "ivf_knn": f"""
+            SELECT query_id, neighbor_id, round(dist_exact, 5) AS dist
+            FROM read_parquet('{_cache01}/ivf_topk.parquet')
         """,
         "ann_hyperplane": _ann_twin_sql(),
         "langid_score": _langid_twin_sql(),

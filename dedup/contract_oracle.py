@@ -44,7 +44,7 @@ MARKER = "_COMPLETE.json"
 
 TABLES = (
     "pages", "signatures", "buckets", "candidates", "verified", "clusters",
-    "mplsh_topk", "modality_features",
+    "mplsh_topk", "modality_features", "ivf_topk",
 )
 
 
@@ -63,7 +63,7 @@ def _kernel_hash() -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     for mod in (
         "hashing.py", "features.py", "oracle.py", "synth.py",
-        "mplsh.py", "modality.py",
+        "mplsh.py", "modality.py", "ivf.py",
     ):
         with open(os.path.join(here, mod), "rb") as f:
             h.update(f.read())
@@ -105,6 +105,19 @@ def _mplsh_reference_frame(sf_dir: str):
                 }
             )
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "dist_exact"])
+
+
+def _ivf_reference_frame(sf_dir: str):
+    """Single-process NumPy reference answer for the `ivf_knn` contract
+    query (dedup/ivf.py reference_* — k-means training + posting-list
+    probe, no Spark, no joins); `dist_exact` stored UNROUNDED, the DuckDB
+    twin rounds (same convention as mplsh_topk)."""
+    import pandas as pd
+
+    from .ivf import IvfConfig, reference_topk_frame
+
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return reference_topk_frame(emb, IvfConfig(), k=5, n_queries=5)
 
 
 def _modality_reference_frame(pages):
@@ -159,6 +172,7 @@ def ensure_cache(sf_dir: str, cfg=None) -> str:
         "clusters": o.clusters,
         "mplsh_topk": _mplsh_reference_frame(sf_dir),
         "modality_features": _modality_reference_frame(corpus.pages),
+        "ivf_topk": _ivf_reference_frame(sf_dir),
     }
     for name, df in frames.items():
         df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
