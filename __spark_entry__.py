@@ -507,6 +507,121 @@ def _token_stats(spark, sf_dir):
     )
 
 
+def _word_grams(d: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, gram) rows: every n-word gram of `text` (space-joined),
+    built entirely JVM-side (split/sequence/slice/array_join/explode stay
+    inside whole-stage codegen — no Arrow round-trip for a string kernel).
+    Docs shorter than n words contribute nothing. The size filter comes
+    BEFORE sequence() because Spark's sequence(1, k) with k < 1 would
+    generate a descending range instead of an empty one."""
+    w = F.split("text", " ")
+    return (
+        d.where(F.size(F.split("text", " ")) >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(w, i, F.lit(n)), " "),
+                )
+            ).alias("gram"),
+        )
+    )
+
+
+def _ngram_decontam(spark, sf_dir):
+    """Benchmark decontamination — the training-data hygiene pass every
+    LLM pipeline runs before training: word-8-gram overlap between the
+    corpus and a held-out eval split (here the deterministic stand-in
+    `doc_id % 7 == 0`; in production, the benchmark suites). Output: each
+    contaminated training doc with its count of distinct shared grams.
+
+    Scale shape: the eval gram set is orders of magnitude smaller than
+    the corpus (benchmarks are ~10^6 grams vs ~10^12 docs), so the
+    distinct eval grams broadcast and the corpus-side gram stream is
+    filtered map-side — one shuffle for the final per-doc countDistinct,
+    none for the join."""
+    d = _t(spark, sf_dir, "documents")
+    grams = _word_grams(d)
+    eval_grams = grams.where(F.col("doc_id") % 7 == 0).select("gram").distinct()
+    return (
+        grams.where(F.col("doc_id") % 7 != 0)
+        .join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("shared_grams"))
+    )
+
+
+def _boilerplate_ngrams(spark, sf_dir):
+    """Cross-document boilerplate detection: word-8-grams appearing in >= 3
+    distinct docs (headers, footers, licence blurbs — the spans a training
+    pipeline strips or downweights). groupBy(gram) + countDistinct(doc_id)
+    partial-aggregates map-side, so a gram repeated within one doc costs
+    one row per map task; the hot-gram skew ceiling is the distinct doc
+    count, which the HAVING bounds the output by."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        _word_grams(d)
+        .groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+        .where(F.col("doc_freq") >= 3)
+    )
+
+
+def _stratified_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling — reproducible train/held-out
+    splits without a random() that would break resume/parity: a Knuth
+    multiplicative hash of doc_id compared against a per-stratum
+    threshold (en keeps 1/8, other languages 1/2 — upweighting the
+    low-resource strata, the standard data-mixture move). Pure integer
+    arithmetic, identical in Spark and DuckDB; a pure map-side filter —
+    zero shuffles at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % F.lit(1048573)) * F.lit(2654435761)) % F.lit(1048576)
+    thr = F.when(F.col("lang") == "en", F.lit(131072)).otherwise(F.lit(524288))
+    return d.where(h < thr).select("doc_id", "lang")
+
+
+def _repetition_stats(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher/MassiveText rules a
+    training pipeline filters on): per doc, the duplicate-word fraction
+    and the most-frequent-word share. Two chained aggregations — the
+    first keyed by (doc_id, word) so a pathological one-word doc
+    partial-aggregates map-side instead of shipping every token."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .count()
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("count").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("count").alias("top_c"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 5).alias("dup_frac"),
+        F.round(F.col("top_c") / F.col("n_words"), 5).alias("top_frac"),
+    )
+
+
+def _shard_assign(spark, sf_dir):
+    """Deterministic output sharding — the write-side of a training-data
+    pipeline: multiplicative-hash shard id (16 shards) with per-shard doc
+    and byte totals, proving balance. One map-side-combined aggregation;
+    at 100 TB the same expression feeds repartition(shard) so each shard
+    writes as one task without a sort."""
+    d = _t(spark, sf_dir, "documents")
+    shard = ((F.col("doc_id") % F.lit(1048573)) * F.lit(2654435761)) % F.lit(16)
+    return d.groupBy(shard.cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 #: language -> characteristic character n-gram markers (mostly trigrams:
 #: function-word boundaries, affixes, diacritics, common hanzi) for the
 #: count-argmax classifier — the langid F-row at trigram granularity
@@ -771,6 +886,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mplsh_knn": _mplsh_knn,  # twinned vs materialized NumPy reference
         "ivf_knn": _ivf_knn,  # twinned vs materialized NumPy reference
         "langid_score": _langid_score,
+        "ngram_decontam": _ngram_decontam,
+        "boilerplate_ngrams": _boilerplate_ngrams,
+        "stratified_hash_sample": _stratified_hash_sample,
+        "repetition_stats": _repetition_stats,
+        "shard_assign": _shard_assign,
         "html_stats": _html_stats,
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
@@ -1090,6 +1210,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_hyperplane": _ann_twin_sql(),
         "langid_score": _langid_twin_sql(),
+        "ngram_decontam": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+              FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+              WHERE len(w) >= 8
+            ), eval_grams AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
+            )
+            SELECT g.doc_id, COUNT(DISTINCT g.gram) AS shared_grams
+            FROM grams g JOIN eval_grams e USING (gram)
+            WHERE g.doc_id % 7 <> 0
+            GROUP BY g.doc_id
+        """,
+        "boilerplate_ngrams": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+              FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+              WHERE len(w) >= 8
+            )
+            SELECT gram, COUNT(DISTINCT doc_id) AS doc_freq
+            FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3
+        """,
+        "stratified_hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id % 1048573) * 2654435761) % 1048576
+                  < CASE WHEN lang = 'en' THEN 131072 ELSE 524288 END
+        """,
+        "repetition_stats": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), counts AS (
+              SELECT doc_id, word, COUNT(*) AS c
+              FROM words, UNNEST(w) AS t(word) GROUP BY doc_id, word
+            ), agg AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     MAX(c) AS top_c
+              FROM counts GROUP BY doc_id
+            )
+            SELECT doc_id, n_words, n_distinct,
+                   ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 5) AS dup_frac,
+                   ROUND(CAST(top_c AS DOUBLE) / n_words, 5) AS top_frac
+            FROM agg
+        """,
+        "shard_assign": """
+            SELECT CAST(((doc_id % 1048573) * 2654435761) % 16 AS BIGINT) AS shard,
+                   COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
+        """,
         "doc_fingerprint": """
             SELECT doc_id,
                    CAST(GREATEST(len(text) - 31, 0) AS BIGINT) AS n_grams,

@@ -32,6 +32,33 @@ def make_pyfiles_zip(path: str) -> None:
                 z.write(os.path.join(pkg, fn), f"dedup/{fn}")
 
 
+def host_canary() -> dict:
+    """Fixed-work host-speed probe run immediately before each leg: a
+    compute-bound float32 matmul and a bandwidth-bound memcopy, single
+    core, ~3 s total. The scores ride along with every measurement so an
+    efficiency number can be judged against the host state it was measured
+    on — this sandbox's host showed ±40% drift on identical legs after a
+    mid-round reboot, which silently poisons any two-leg ratio."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((512, 512)).astype(np.float32)
+    a @ a  # warm
+    t0 = time.perf_counter()
+    m = a
+    for _ in range(40):
+        m = (m @ a) / 512.0
+    t_mm = time.perf_counter() - t0
+    buf = np.zeros(64 * 1024 * 1024)  # 512 MB
+    t0 = time.perf_counter()
+    for _ in range(10):
+        buf = buf.copy()
+    t_cp = time.perf_counter() - t0
+    return {"matmul_s": round(t_mm, 3), "memcopy_s": round(t_cp, 3)}
+
+
 def run_one(parallelism: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
     wh = tempfile.mkdtemp(prefix=f"dedup_scale_{parallelism}_")
     cmd = [
@@ -64,13 +91,21 @@ def main() -> None:
     make_pyfiles_zip(zip_path)
 
     res = {}
+    canary = {}
     for p in (args.low, args.high):
+        canary[p] = host_canary()
+        print(f"canary before local[{p}]: {json.dumps(canary[p])}", file=sys.stderr)
         res[p] = run_one(p, args.sf_dir, args.replicate, zip_path)
         print(f"local[{p}]: {json.dumps(res[p])}", file=sys.stderr)
 
     thr_lo = res[args.low]["docs_per_sec"]
     thr_hi = res[args.high]["docs_per_sec"]
     eff = (thr_hi / thr_lo) / (args.high / args.low)
+    drift = max(
+        abs(canary[args.low][k] - canary[args.high][k])
+        / min(canary[args.low][k], canary[args.high][k])
+        for k in ("matmul_s", "memcopy_s")
+    )
     summary = {
         "docs": res[args.high]["docs"],
         "replicate": args.replicate,
@@ -80,6 +115,9 @@ def main() -> None:
         f"wall_sec_local{args.low}": res[args.low]["wall_sec"],
         f"wall_sec_local{args.high}": res[args.high]["wall_sec"],
         "scaling_efficiency": round(eff, 3),
+        "canary_low": canary[args.low],
+        "canary_high": canary[args.high],
+        "canary_drift": round(drift, 3),
     }
     print(json.dumps(summary))
 
@@ -88,10 +126,15 @@ def main() -> None:
         json.dump(summary, f, indent=1)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "a") as f:
+        note = f" (host drift {drift:.0%})" if drift > 0.10 else ""
         f.write(
             f"- rep{args.replicate} local[{args.low}]->local[{args.high}]: "
             f"{thr_lo} -> {thr_hi} docs/sec, "
-            f"efficiency {summary['scaling_efficiency']}\n"
+            f"efficiency {summary['scaling_efficiency']}"
+            f" [canary mm {canary[args.low]['matmul_s']}/"
+            f"{canary[args.high]['matmul_s']}s"
+            f" cp {canary[args.low]['memcopy_s']}/"
+            f"{canary[args.high]['memcopy_s']}s]{note}\n"
         )
     print(f"appended to {md}", file=sys.stderr)
 
