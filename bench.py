@@ -87,7 +87,8 @@ def main() -> None:
         # a few representative contract queries at the same sf
         qs = contract.queries()
         for name in ["lineitem_pricing_summary", "broadcast_star_join",
-                     "window_topk_values", "knn_l2", "prefix_near_dup_pairs"]:
+                     "window_topk_values", "knn_l2", "prefix_near_dup_pairs",
+                     "ngram_decontam", "repetition_stats"]:
             t0 = time.monotonic()
             qs[name](spark, args.sf_dir).count()
             timings[name] = round(time.monotonic() - t0, 2)

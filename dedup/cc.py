@@ -95,11 +95,62 @@ def _checkpoint_with_fingerprint(edges: DataFrame) -> tuple[DataFrame, tuple[int
     return out, (int(got["n"] or 0), int(got["h"] or 0))
 
 
+#: pipeline default for the driver-local CC fast path (see
+#: connected_components(local_max_edges=...)): below this edge count the
+#: per-iteration Spark job overhead dominates the actual union-find work,
+#: so the exact computation moves to the driver. 2M edges of ~60-byte urls
+#: is ~250 MB driver-side — well inside the driver heap, and orders of
+#: magnitude below what the distributed path exists for. After exact-dup
+#: contraction, even heavily-duplicated corpora land under this at
+#: billions of raw docs only when dup structure is extreme; the
+#: distributed iterate path remains the 100 TB route.
+LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def _local_union_find_labels(spark, pdf) -> DataFrame:
+    """Exact driver-side union-find over a SMALL collected edge set
+    (pandas columns u, v): returns (url, cluster_id = min url of its
+    component) for every node that appears in an edge — the same rows the
+    distributed star fixpoint produces (roots may label themselves; the
+    caller's left-join + coalesce tail is insensitive to that
+    difference). Deterministic: no ordering dependence, labels are
+    component minima by construction."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"], pdf["v"]):
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min root; the exact component minimum is still
+            # resolved independently in the pass below
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    comp_min: dict[str, str] = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    rows = [(node, comp_min[find(node)]) for node in parent]
+    return spark.createDataFrame(rows, schema="url string, cluster_id string")
+
+
 def connected_components_contracted(
     dup_pairs: DataFrame,
     all_nodes: DataFrame,
     sha_map: DataFrame,
     cfg: DedupConfig,
+    local_max_edges: int = 0,
 ) -> DataFrame:
     """Exact-duplicate contraction before CC (the 100 TB move: on real
     crawls 30-60% of docs are byte-identical; the replicated bench corpus
@@ -130,7 +181,9 @@ def connected_components_contracted(
         .distinct()
     )
     reps = urlrep.select(F.col("rep").alias("url")).distinct()
-    rep_clusters = connected_components(redges, reps, cfg)
+    rep_clusters = connected_components(
+        redges, reps, cfg, local_max_edges=local_max_edges
+    )
     mapped = urlrep.join(
         rep_clusters.withColumnRenamed("url", "rep"), "rep"
     ).select("url", "cluster_id")
@@ -142,18 +195,47 @@ def connected_components_contracted(
 
 
 def connected_components(
-    dup_pairs: DataFrame, all_nodes: DataFrame, cfg: DedupConfig
+    dup_pairs: DataFrame,
+    all_nodes: DataFrame,
+    cfg: DedupConfig,
+    local_max_edges: int = 0,
 ) -> DataFrame:
     """dup_pairs(url_a, url_b) + all_nodes(url) -> clusters(url, cluster_id).
 
     Every input url appears in the output; singletons map to themselves
     (oracle parity: oracle.py seeds union-find with every page url).
+
+    local_max_edges > 0 enables the adaptive local-execution fast path
+    (the same move AQE makes for small shuffles): a bounded
+    limit(gate+1) collect probes the distinct edge set, and if it fits,
+    the component labeling runs as exact union-find on the driver in ONE
+    Spark job — instead of a checkpoint job plus O(log n) iteration jobs
+    of fixed scheduling cost each. On overflow the probe is discarded
+    (bounded: ~gate rows collected once) and the distributed iterate
+    path runs as before. Output is identical (gated by tests/test_cc.py
+    equivalence + the oracle parity suite); 0 disables the gate (the
+    default for direct callers, so tests keep covering the distributed
+    path — the pipeline passes LOCAL_CC_MAX_EDGES).
     """
-    edges, prev_fp = _checkpoint_with_fingerprint(
+    dedup_edges = (
         dup_pairs.select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    if local_max_edges > 0:
+        probe = dedup_edges.limit(local_max_edges + 1).toPandas()
+        if len(probe) <= local_max_edges:
+            labels_local = _local_union_find_labels(
+                dup_pairs.sparkSession, probe
+            )
+            return (
+                all_nodes.select("url")
+                .join(labels_local, "url", "left")
+                .withColumn(
+                    "cluster_id", F.coalesce("cluster_id", F.col("url"))
+                )
+            )
+    edges, prev_fp = _checkpoint_with_fingerprint(dedup_edges)
     converged = prev_fp[0] == 0
     for _ in range(cfg.cc_max_iters):
         if prev_fp[0] == 0:

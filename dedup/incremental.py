@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import stages
 from .catalog import Warehouse
-from .cc import connected_components
+from .cc import LOCAL_CC_MAX_EDGES, connected_components
 from .config import DedupConfig
 
 BASE_TABLES = ("pages", "signatures", "buckets", "verified_pairs", "clusters")
@@ -161,7 +161,9 @@ def run_incremental(
     edges = (
         verified_new.filter("is_dup").select("url_a", "url_b").unionByName(old_stars)
     )
-    clusters = connected_components(edges, pages_all.select("url"), cfg)
+    clusters = connected_components(
+        edges, pages_all.select("url"), cfg, local_max_edges=LOCAL_CC_MAX_EDGES
+    )
     # global outputs are REPLACED, not overwritten in place: a fresh
     # generation directory commits first, then the pointer swaps atomically
     # — a crash mid-rewrite leaves the previous committed generation intact

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import stages
 from .catalog import Warehouse
-from .cc import connected_components, connected_components_contracted
+from .cc import (
+    LOCAL_CC_MAX_EDGES,
+    connected_components,
+    connected_components_contracted,
+)
 from .config import DedupConfig
 
 STAGE_ORDER = [
@@ -101,10 +105,13 @@ def run_in_memory(
     # docs (dup-heavy corpora — the regime it exists for).
     if verified.count() > 8 * pages.select("url").count():
         clusters = connected_components_contracted(
-            dup, pages.select("url"), sigs.select("url", "text_sha"), cfg
+            dup, pages.select("url"), sigs.select("url", "text_sha"), cfg,
+            local_max_edges=LOCAL_CC_MAX_EDGES,
         )
     else:
-        clusters = connected_components(dup, pages.select("url"), cfg)
+        clusters = connected_components(
+            dup, pages.select("url"), cfg, local_max_edges=LOCAL_CC_MAX_EDGES
+        )
     return {
         "signatures": sigs,
         "buckets": buckets,
@@ -410,10 +417,14 @@ def run(
         t0 = time.monotonic()
         if n_pairs > 8 * n_docs:
             clusters = connected_components_contracted(
-                dup, pages_t.select("url"), sigs_com.select("url", "text_sha"), cfg
+                dup, pages_t.select("url"), sigs_com.select("url", "text_sha"),
+                cfg, local_max_edges=LOCAL_CC_MAX_EDGES,
             )
         else:
-            clusters = connected_components(dup, pages_t.select("url"), cfg)
+            clusters = connected_components(
+                dup, pages_t.select("url"), cfg,
+                local_max_edges=LOCAL_CC_MAX_EDGES,
+            )
         clusters = clusters.persist(StorageLevel.MEMORY_AND_DISK)
         pinned.append(clusters)
         clusters.count()

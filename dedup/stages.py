@@ -133,11 +133,29 @@ def _simhash_combo_entries(signatures: DataFrame, cfg: DedupConfig) -> DataFrame
     ).select(F.col("b.k1").alias("k1"), F.col("b.k2").alias("k2"), "url")
 
 
+#: physical strategy for the shared capped-generator pipeline in
+#: stage3_candidates — output-identical, different shuffle shapes:
+#:   "semijoin": count -> left-semi -> collect_list (three passes over the
+#:     entries relation, two of them full-data shuffles).
+#:   "window":   one shuffle: count(*) over Window.partitionBy(key), filter
+#:     the cap on the marked rows, then collect_list reuses the window's
+#:     hash partitioning (EnsureRequirements inserts no second exchange).
+#: Selected by measurement on the bench corpus (BENCH/BASELINE.md); the
+#: semijoin path remains selectable — its pre-collect drop is the safer
+#: shape if a deployment's AQE skew splitting is disabled. A physical-plan
+#: knob (results identical), so it rides an env var, not DedupConfig /
+#: the config hash.
+import os as _os
+
+STAGE3_STRATEGY = _os.environ.get("DEDUP_STAGE3_STRATEGY", "window")
+
+
 def stage3_candidates(
     signatures: DataFrame,
     buckets: DataFrame,
     cfg: DedupConfig,
     new_urls: DataFrame | None = None,
+    strategy: str | None = None,
 ) -> CandidateOut:
     """All four candidate generators in one unified pass.
 
@@ -206,30 +224,73 @@ def stage3_candidates(
         )
     else:
         entries = entries.withColumn("is_new", F.lit(True))
-    entries = entries.persist(StorageLevel.MEMORY_AND_DISK)
     keys = ["gen", "k1", "k2"]
-    # counts is tiny (one row per distinct key) and read twice — by the
-    # candidates job (ok_keys semi-join) and by the dropped_buckets write;
-    # persisting it turns the dropped_buckets stage into a filter over
-    # cached rows instead of a second shuffle of the entries relation
-    counts = (
-        entries.groupBy(*keys).agg(F.count("*").alias("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    ok_keys = counts.filter((F.col("n") >= 2) & (F.col("n") <= cfg.max_bucket))
-    dropped = counts.filter(F.col("n") > cfg.max_bucket).select(
-        F.col("gen").alias("generator"),
-        # key strings match the oracle's per-generator formats
-        F.when(F.col("gen") == "winnow", F.col("k2").cast("string"))
-        .otherwise(F.concat_ws(":", "k1", "k2"))
-        .alias("key"),
-        F.col("n").cast("long").alias("n"),
-    )
-    grouped = (
-        entries.join(ok_keys.select(*keys), keys, "left_semi")
-        .groupBy(*keys)
-        .agg(F.collect_list(F.struct("url", "is_probe", "is_new")).alias("members"))
-    )
+    strategy = strategy or STAGE3_STRATEGY
+
+    def _dropped_from_counts(cdf: DataFrame) -> DataFrame:
+        return cdf.filter(F.col("n") > cfg.max_bucket).select(
+            F.col("gen").alias("generator"),
+            # key strings match the oracle's per-generator formats
+            F.when(F.col("gen") == "winnow", F.col("k2").cast("string"))
+            .otherwise(F.concat_ws(":", "k1", "k2"))
+            .alias("key"),
+            F.col("n").cast("long").alias("n"),
+        )
+
+    if strategy == "window":
+        # ONE shuffle of the entries relation: the window count marks every
+        # row with its key's cardinality; the cap filter then drops hot and
+        # singleton keys row-wise, and the collect_list groupBy reuses the
+        # window's HashPartitioning(keys) with no further exchange. The hot
+        # key's rows do land on one window task (sorted, counted, spilled if
+        # huge, never collected into a list) — same single-task exposure the
+        # semijoin path has at its shuffle-join probe, one whole pass
+        # cheaper.
+        from pyspark.sql import Window
+
+        marked = entries.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        counts = marked.groupBy(*keys).agg(F.max("n").alias("n"))
+        dropped = _dropped_from_counts(
+            marked.filter(F.col("n") > cfg.max_bucket)
+            .groupBy(*keys)
+            .agg(F.max("n").alias("n"))
+        )
+        grouped = (
+            marked.filter((F.col("n") >= 2) & (F.col("n") <= cfg.max_bucket))
+            .groupBy(*keys)
+            .agg(
+                F.collect_list(F.struct("url", "is_probe", "is_new")).alias(
+                    "members"
+                )
+            )
+        )
+        entries = marked  # the persisted relation callers must release
+    else:
+        entries = entries.persist(StorageLevel.MEMORY_AND_DISK)
+        # counts is tiny (one row per distinct key) and read twice — by the
+        # candidates job (ok_keys semi-join) and by the dropped_buckets
+        # write; persisting it turns the dropped_buckets stage into a filter
+        # over cached rows instead of a second shuffle of the entries
+        # relation
+        counts = (
+            entries.groupBy(*keys).agg(F.count("*").alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        ok_keys = counts.filter(
+            (F.col("n") >= 2) & (F.col("n") <= cfg.max_bucket)
+        )
+        dropped = _dropped_from_counts(counts)
+        grouped = (
+            entries.join(ok_keys.select(*keys), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(
+                F.collect_list(F.struct("url", "is_probe", "is_new")).alias(
+                    "members"
+                )
+            )
+        )
     # Pair explosion stays JVM-side (double explode inside whole-stage
     # codegen — no Arrow round-trip): a bucket of n members -> n^2 generated
     # rows filtered to canonical pairs, bounded by max_bucket. The

@@ -98,3 +98,26 @@ def test_contracted_cc_equals_plain_cc(spark):
     )
     assert contracted == plain
     assert contracted == _oracle_partition(nodes, edges)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(11, 200, 300), (12, 50, 0), (13, 300, 80)])
+def test_local_fast_path_equals_distributed(spark, seed, n_nodes, n_edges):
+    """The driver-local union-find gate (local_max_edges) must be output-
+    identical to the distributed star fixpoint on the same graph — the
+    pipeline enables it by default (LOCAL_CC_MAX_EDGES), so its
+    equivalence is load-bearing for every parity/resume suite."""
+    nodes, edges = _random_case(seed, n_nodes, n_edges)
+    nodes_df = spark.createDataFrame(pd.DataFrame({"url": nodes}))
+    edges_df = spark.createDataFrame(
+        pd.DataFrame(edges or [("x", "x")], columns=["url_a", "url_b"])
+    )
+    dist = dict(
+        connected_components(edges_df, nodes_df, DEFAULT)
+        .toPandas()[["url", "cluster_id"]].values.tolist()
+    )
+    local = dict(
+        connected_components(edges_df, nodes_df, DEFAULT, local_max_edges=10**9)
+        .toPandas()[["url", "cluster_id"]].values.tolist()
+    )
+    assert local == dist
+    assert local == _oracle_partition(nodes, edges)
