@@ -622,6 +622,74 @@ def _shard_assign(spark, sf_dir):
     )
 
 
+def _source_quality_stats(spark, sf_dir):
+    """Domain-level rollup — the input to a C4/RefinedWeb-style domain
+    filter: per source (the fixture's stand-in for a crawl domain), doc
+    count, exact-duplicate rate (1 - distinct text hashes / docs), mean
+    doc length, and language spread. Pipelines drop or downweight whole
+    domains whose dup-rate or length profile marks them as mirrors /
+    boilerplate farms.
+
+    Scale shape: one groupBy(source) with two distinct aggregates —
+    Catalyst plans the multi-distinct via Expand + two-phase partial
+    aggregation, so each map task ships one row per (source, sha) /
+    (source, lang), not per doc; a mirror domain with 10^7 identical
+    docs costs its map tasks one row each. Domain keys (~10^8 at crawl
+    scale) hash-partition evenly."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", "lang", "n_chars", F.sha2("text", 256).alias("sha"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("sha").alias("n_uniq"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("sha") / F.count(F.lit(1)), 5
+            ).alias("dup_rate"),
+            F.round(F.avg("n_chars"), 3).alias("mean_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def _vocab_topk(spark, sf_dir):
+    """Corpus-wide token frequency top-k — the vocabulary-construction
+    pass of tokenizer training (BPE seeding starts from exactly this
+    table): the 100 most frequent whitespace tokens with count and
+    corpus-coverage fraction, ranked deterministically (count desc, then
+    token).
+
+    Scale shape: explode + groupBy(word) partial-aggregates map-side, so
+    the shuffle is vocab-sized (bounded ~10^7), not token-sized (~10^14);
+    the top-k is orderBy + limit, which Spark plans as
+    TakeOrderedAndProject — per-partition heaps merged at the driver, no
+    global sort. Only the 100 survivors see the rank window and the
+    broadcast scalar total."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # total token count straight off the docs (sum of per-doc token
+    # counts) — one narrow scan, no second explode+shuffle-by-word pass
+    total = d.select(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("t")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(100)
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "word",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("t"), 6).alias("frac"),
+        )
+    )
+
+
 #: language -> characteristic character n-gram markers (mostly trigrams:
 #: function-word boundaries, affixes, diacritics, common hanzi) for the
 #: count-argmax classifier — the langid F-row at trigram granularity
@@ -891,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_hash_sample": _stratified_hash_sample,
         "repetition_stats": _repetition_stats,
         "shard_assign": _shard_assign,
+        "source_quality_stats": _source_quality_stats,
+        "vocab_topk": _vocab_topk,
         "html_stats": _html_stats,
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
@@ -1262,6 +1332,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(((doc_id % 1048573) * 2654435761) % 16 AS BIGINT) AS shard,
                    COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
+        """,
+        "source_quality_stats": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_uniq,
+                   ROUND(1.0 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE)
+                             / COUNT(*), 5) AS dup_rate,
+                   ROUND(AVG(n_chars), 3) AS mean_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source
+        """,
+        "vocab_topk": """
+            WITH words AS (
+              SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ), counts AS (
+              SELECT word, COUNT(*) AS n FROM words GROUP BY word
+            ), tot AS (SELECT SUM(n) AS t FROM counts)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT)
+                       AS rank,
+                   word, CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(n AS DOUBLE) / t, 6) AS frac
+            FROM counts, tot
+            ORDER BY n DESC, word LIMIT 100
         """,
         "doc_fingerprint": """
             SELECT doc_id,
