@@ -54,6 +54,32 @@ def _doc_sha(spark, sf_dir):  # F9
     )
 
 
+def _exact_dup_groups(spark, sf_dir):  # exact hash-groupBy dedup tier
+    """Exact deduplication, the tier below MinHash: group documents by
+    sha256(text), keep groups of size > 1, canonical = min doc_id — the
+    hash-groupBy shape that removes byte-identical crawl copies before any
+    similarity work (the pipeline's text_sha contraction, dedup/cc.py,
+    exposed as a standalone contract query). The fixture has no exact
+    copies, so a deterministic re-keyed duplicate of every 5th doc is
+    unioned in first (mirrored verbatim in the DuckDB twin). Scale shape:
+    one hash-partitioned agg with map-side partial counts — no joins, no
+    skew (sha keys are uniform by construction)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return (
+        d.unionByName(dup)
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+        .groupBy("sha")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def _prefix_near_dup_pairs(spark, sf_dir):  # J1 + P3 (SQL-visible dedup tier)
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 40).alias("pfx")
@@ -933,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": _scan_filter_project,
         "doc_sha": _doc_sha,
+        "exact_dup_groups": _exact_dup_groups,
         "prefix_near_dup_pairs": _prefix_near_dup_pairs,
         "salted_group_count": _salted_group_count,
         "broadcast_star_join": _broadcast_star_join,
@@ -1384,6 +1411,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_sha": """
             SELECT doc_id, sha256(text) AS sha FROM documents
+        """,
+        "exact_dup_groups": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 5 = 0
+            )
+            SELECT sha256(text) AS sha,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_docs
+            FROM u GROUP BY 1 HAVING count(*) > 1
         """,
         "prefix_near_dup_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b

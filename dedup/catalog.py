@@ -185,6 +185,28 @@ class Warehouse:
         with open(p) as f:
             return list(json.load(f).get(table, []))
 
+    def unregister_delta(self, table: str, delta_table: str) -> None:
+        """Remove a delta from the registry AND delete its directory — the
+        rollback half of the delta protocol (dedup/streaming.py rolls back
+        a crashed micro-batch attempt before replaying it). The registry
+        entry is removed first so a crash mid-rollback leaves the delta
+        invisible (an unregistered directory is never read), then the
+        directory itself is deleted."""
+        import shutil
+
+        p = os.path.join(self.root, self.DELTAS)
+        if os.path.exists(p):
+            with open(p) as f:
+                reg = json.load(f)
+            lst = reg.get(table, [])
+            if delta_table in lst:
+                lst.remove(delta_table)
+                tmp = p + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(reg, f, indent=1)
+                os.replace(tmp, p)
+        shutil.rmtree(os.path.join(self.root, delta_table), ignore_errors=True)
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if not self.is_complete(table):
             raise FileNotFoundError(

@@ -1,0 +1,163 @@
+"""Streaming ingest: Structured Streaming micro-batches folded through the
+incremental dedup machinery (SURVEY.md §2.9's stretch goal made real).
+
+Shape: `spark.readStream` over a parquet drop directory (the sandbox
+stand-in for an Iceberg-snapshot / Kafka WARC feed) -> `foreachBatch` ->
+`dedup.incremental.run_incremental`. foreachBatch rather than stateful
+streaming operators, deliberately: the dedup state — signatures, buckets,
+clusters — already lives in the warehouse's committed tables, not in
+Spark's state store, so every micro-batch becomes one incremental commit
+that is resumable, queryable mid-stream, and survives the streaming query
+(and Spark itself) restarting. At the design point this is the daily-crawl
+service: new WARC batches land in the drop directory and each trigger
+folds them into the global dedup view without recomputing old-old work.
+
+Exactly-once over an at-least-once replay: Structured Streaming re-runs a
+micro-batch whose epoch did not commit to the checkpoint, so `fold` is
+idempotent over batch_id:
+
+  - a fully-processed batch writes an atomic `_STREAM_BATCH_<id>.done`
+    marker in the warehouse root (os.replace); a replay that sees the
+    marker skips the batch entirely.
+  - a replay of a CRASHED attempt first rolls back that attempt's partial
+    delta state (`rollback_increment`: unregister + delete every
+    `<table>_delta_s<id>`), then re-runs. The rerun is value-identical:
+    every stage is deterministic, and if the crashed attempt had already
+    swapped the global clusters/canonical generation, re-running over
+    (old cluster stars UNION recomputed new edges) reproduces the same
+    partition — star edges are exactly the transitive closure of the
+    state they replaced.
+
+The marker is keyed by batch_id, which Structured Streaming keeps stable
+across replays while the checkpoint exists; if the checkpoint itself is
+destroyed, replays stay idempotent as long as the drop directory is
+unchanged (the file source re-enumerates the same files in the same
+order — asserted in tests/test_streaming.py).
+
+Batch 0 bootstraps: if the warehouse has no completed base run, the first
+micro-batch runs the full pipeline (`dedup.pipeline.run`) as the base and
+later batches become increments — so a dedup service can be started
+against an empty warehouse and a drop directory, nothing else. A crashed
+bootstrap replays through pipeline.run's own stage-resume machinery
+(committed stages are skipped), so it needs no rollback.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Warehouse
+from .config import DedupConfig
+
+# delta tables one increment commits, in commit order (incremental.py)
+INCREMENT_DELTA_TABLES = ("pages", "signatures", "buckets", "verified_pairs")
+
+
+def _marker_path(warehouse_root: str, batch_id: int) -> str:
+    return os.path.join(warehouse_root, f"_STREAM_BATCH_{batch_id}.done")
+
+
+def _mark_done(warehouse_root: str, batch_id: int) -> None:
+    p = _marker_path(warehouse_root, batch_id)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("done\n")
+    os.replace(tmp, p)
+
+
+def rollback_increment(wh: Warehouse, run_id: str) -> list[str]:
+    """Remove every trace of an incomplete increment attempt `run_id`:
+    unregister + delete each `<table>_delta_<run_id>`. Safe because no
+    LATER increment can have read these deltas — increments are processed
+    serially and this one never wrote its done marker. Returns the delta
+    table names that were rolled back (registered or not — a crash between
+    a delta's manifest commit and its registration leaves an unregistered
+    but complete directory, which must also go before the rerun rewrites
+    it). Global clusters/canonical generations are NOT rolled back: they
+    are pointer-swapped whole, remain valid committed data, and the rerun
+    replaces them with an identical partition (module docstring)."""
+    rolled = []
+    for t in INCREMENT_DELTA_TABLES:
+        name = f"{t}_delta_{run_id}"
+        if name in wh.registered_deltas(t) or os.path.exists(
+            os.path.join(wh.root, name)
+        ):
+            wh.unregister_delta(t, name)
+            rolled.append(name)
+    return rolled
+
+
+@dataclass
+class StreamResult:
+    """What one run_stream call did, batch by batch."""
+
+    processed: list[int] = field(default_factory=list)  # ran this call
+    skipped: list[int] = field(default_factory=list)  # marker already done
+    rolled_back: list[int] = field(default_factory=list)  # partial state removed
+    bootstrapped: bool = False  # batch ran pipeline.run as the base
+
+
+def run_stream(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: DedupConfig,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    bootstrap: bool = True,
+) -> StreamResult:
+    """Fold every parquet file currently in `source_dir` (pages schema:
+    url, warc_ts, html, text, lang) into the dedup warehouse as a sequence
+    of incremental commits, one micro-batch at a time, then stop
+    (Trigger.AvailableNow — a deployment runs the same query with a
+    processing-time trigger and it never stops). Returns a StreamResult;
+    the warehouse's clusters/canonical_pages tables are the live output
+    after every batch."""
+    from .incremental import run_incremental
+    from .pipeline import run as run_pipeline
+    from .synth import pages_schema
+
+    result = StreamResult()
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(_marker_path(warehouse_root, batch_id)):
+            result.skipped.append(batch_id)
+            return
+        run_id = f"s{batch_id}"
+        wh = Warehouse(
+            root=warehouse_root, config_hash=cfg.config_hash(), run_id=run_id
+        )
+        if batch_df.isEmpty():
+            _mark_done(warehouse_root, batch_id)
+            result.processed.append(batch_id)
+            return
+        if bootstrap and not wh.is_complete("pages"):
+            # first batch against an empty warehouse: run the full pipeline
+            # as the base run (its own resume machinery makes replay safe)
+            run_pipeline(spark, batch_df, cfg, warehouse_root, run_id=run_id)
+            result.bootstrapped = True
+        else:
+            if rollback_increment(wh, run_id):
+                result.rolled_back.append(batch_id)
+            run_incremental(
+                spark, batch_df, cfg, warehouse_root, run_id=run_id
+            )
+        _mark_done(warehouse_root, batch_id)
+        result.processed.append(batch_id)
+
+    stream = (
+        spark.readStream.schema(pages_schema())
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result
