@@ -80,6 +80,55 @@ def _exact_dup_groups(spark, sf_dir):  # exact hash-groupBy dedup tier
     )
 
 
+def _line_dedup_reconstruct(spark, sf_dir):  # CCNet/RefinedWeb line-level dedup
+    """Line-level (here: fixed 8-word segment) cross-document dedup with
+    document reconstruction — the CCNet/C4 pass that strips lines repeated
+    across many pages (nav bars, footers, licence blocks) while keeping
+    each document's remaining text in order. The fixture's documents are
+    single-line, so the deterministic segmentation into consecutive 8-word
+    chunks stands in for line splitting; a chunk is boilerplate when its
+    exact text occurs in >= 3 distinct docs. Scale shape: one explode ->
+    two hash aggs (map-side partial countDistinct) -> left_anti against
+    the tiny common set -> per-doc ordered reassembly (array_sort over
+    collected (pos, chunk) structs, JVM-side) — no windows, no skew (chunk
+    keys are near-unique by construction, the common set is broadcast)."""
+    K, MIN_DOCS = 8, 3
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_chunks = F.ceil(F.size("w") / K).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice("w", i * K + 1, F.lit(K)), " "),
+    )
+    c = d.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_no", "chunk")
+    )
+    common = (
+        c.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= MIN_DOCS)
+        .select("chunk")
+    )
+    kept = c.join(F.broadcast(common), "chunk", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_no", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )
+
+
 def _prefix_near_dup_pairs(spark, sf_dir):  # J1 + P3 (SQL-visible dedup tier)
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 40).alias("pfx")
@@ -960,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_filter_project": _scan_filter_project,
         "doc_sha": _doc_sha,
         "exact_dup_groups": _exact_dup_groups,
+        "line_dedup_reconstruct": _line_dedup_reconstruct,
         "prefix_near_dup_pairs": _prefix_near_dup_pairs,
         "salted_group_count": _salted_group_count,
         "broadcast_star_join": _broadcast_star_join,
@@ -1423,6 +1473,32 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_id,
                    count(*) AS n_docs
             FROM u GROUP BY 1 HAVING count(*) > 1
+        """,
+        "line_dedup_reconstruct": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), chunks AS (
+              SELECT doc_id, i AS chunk_no,
+                     array_to_string(list_slice(w, i*8 + 1, i*8 + 8), ' ') AS chunk
+              FROM d, UNNEST(range(0, (len(w) + 7) // 8)) AS t(i)
+            ), common AS (
+              SELECT chunk FROM chunks
+              GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3
+            ), kept AS (
+              SELECT * FROM chunks
+              WHERE chunk NOT IN (SELECT chunk FROM common)
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(chunk, ' ' ORDER BY chunk_no) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_total FROM chunks GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   t.n_total - coalesce(a.n_kept, 0) AS n_removed
+            FROM tot t LEFT JOIN agg a USING (doc_id)
         """,
         "prefix_near_dup_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
