@@ -39,6 +39,19 @@ def main() -> None:
     import __spark_entry__ as contract
 
     sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    # host-state canary BEFORE Spark starts: fixed-work single-core matmul +
+    # memcopy (scripts/bench_scaling.py::host_canary). This sandbox's VM has
+    # shown 10-25x memory-bandwidth degradation episodes on identical code
+    # (BENCH/BASELINE.md host-incident note); stamping every bench line with
+    # the host state it was measured on keeps a degraded-host run from
+    # reading as a code regression. Known-good reference on this host:
+    # matmul ~0.34 s, memcopy ~1.7 s.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_scaling import host_canary
+
+    canary = host_canary()
+
     spark = build_session(app_name="dedup-bench", master=f"local[{args.cpus}]")
     timings: dict[str, float] = {}
     wh_root = tempfile.mkdtemp(prefix="dedup_bench_wh_")
@@ -105,6 +118,10 @@ def main() -> None:
                     "docs_per_sec": round(n_docs / e2e, 1),
                     "cpus": int(args.cpus),
                     "replicate": args.replicate,
+                    "host_canary": canary,
+                    "host_degraded": bool(
+                        canary["matmul_s"] > 0.6 or canary["memcopy_s"] > 3.5
+                    ),
                 }
             )
         )
