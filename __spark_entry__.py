@@ -129,6 +129,43 @@ def _line_dedup_reconstruct(spark, sf_dir):  # CCNet/RefinedWeb line-level dedup
     )
 
 
+def _pii_scrub(spark, sf_dir):  # PII redaction (training-data scrub pass)
+    """Email/phone redaction — the scrub pass every training-data pipeline
+    runs before tokenization: count and mask PII spans with JVM regex
+    expressions (regexp_count/regexp_replace inside codegen — no UDF, no
+    shuffle; a pure map over the corpus scan, the ideal 100 TB shape).
+    The fixture's word-soup has no PII, so deterministic emails/phones are
+    injected first (doc_id-keyed, mirrored verbatim in the DuckDB twin).
+    Patterns use only character classes and bounded quantifiers so Java
+    regex (Spark) and RE2 (DuckDB) agree byte-for-byte."""
+    EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    PHONE = r"\(?[0-9]{3}\)?[ -][0-9]{3}-[0-9]{4}"
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(" call 555-123-4567 or (555) 987-6543"),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(injected, F.lit(PHONE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(injected, EMAIL, "<EMAIL>"), PHONE, "<PHONE>"
+        ).alias("clean_text"),
+    )
+
+
 def _prefix_near_dup_pairs(spark, sf_dir):  # J1 + P3 (SQL-visible dedup tier)
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 40).alias("pfx")
@@ -1010,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sha": _doc_sha,
         "exact_dup_groups": _exact_dup_groups,
         "line_dedup_reconstruct": _line_dedup_reconstruct,
+        "pii_scrub": _pii_scrub,
         "prefix_near_dup_pairs": _prefix_near_dup_pairs,
         "salted_group_count": _salted_group_count,
         "broadcast_star_join": _broadcast_star_join,
@@ -1499,6 +1537,32 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.clean_text, '') AS clean_text,
                    t.n_total - coalesce(a.n_kept, 0) AS n_removed
             FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "pii_scrub": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN ' call 555-123-4567 or (555) 987-6543'
+                          ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                     AS n_emails,
+                   len(regexp_extract_all(t,
+                     '\(?[0-9]{3}\)?[ -][0-9]{3}-[0-9]{4}')) AS n_phones,
+                   regexp_replace(
+                     regexp_replace(t,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\(?[0-9]{3}\)?[ -][0-9]{3}-[0-9]{4}',
+                     '<PHONE>', 'g') AS clean_text
+            FROM injected
         """,
         "prefix_near_dup_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
