@@ -110,22 +110,24 @@ def _line_dedup_reconstruct(spark, sf_dir):  # CCNet/RefinedWeb line-level dedup
         .filter(F.col("nd") >= MIN_DOCS)
         .select("chunk")
     )
-    kept = c.join(F.broadcast(common), "chunk", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_no", "chunk"))),
-                lambda s: s["chunk"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    # mark common chunks with a broadcast left join, then ONE aggregation
+    # reassembles the kept chunks in order AND counts removals — no
+    # second (totals) agg, no doc_id join afterwards: one shuffle total,
+    # and no doc is lost when every chunk is removed (empty clean_text)
+    flagged = c.join(
+        F.broadcast(common.withColumn("is_common", F.lit(1))), "chunk", "left"
     )
-    totals = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    kept_sorted = F.filter(
+        F.array_sort(F.collect_list(F.struct("chunk_no", "chunk", "is_common"))),
+        lambda s: s["is_common"].isNull(),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(kept_sorted, lambda s: s["chunk"]), " "
+        ).alias("clean_text"),
+        F.sum(
+            F.when(F.col("is_common").isNotNull(), 1).otherwise(0)
+        ).alias("n_removed"),
     )
 
 
