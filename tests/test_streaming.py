@@ -152,6 +152,27 @@ def test_stream_recovers_from_crashed_attempt(
     assert got["cluster_id"].tolist() == full_run_clusters["cluster_id"].tolist()
 
 
+def test_stream_batch_order_does_not_change_end_state(
+    spark, batches, full_run_clusters, tmp_path_factory
+):
+    """Micro-batch arrival order must not change the final partition: the
+    REVERSED drop order makes the smallest batch the bootstrap base and
+    the largest the last increment, and the end state still equals the
+    full batch run (no hidden dependence on which batch seeded the
+    warehouse)."""
+    source = str(tmp_path_factory.mktemp("stream_src_rev"))
+    wh_root = str(tmp_path_factory.mktemp("wh_stream_rev"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt_rev"))
+    for i, pdf in enumerate(reversed(batches)):
+        p = _write_batch_file(spark, pdf, source, f"batch_{i}")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    result = run_stream(spark, source, DEFAULT, wh_root, ckpt)
+    assert result.bootstrapped and result.processed == [0, 1, 2]
+    got = _clusters_pd(spark, wh_root)
+    assert got["url"].tolist() == full_run_clusters["url"].tolist()
+    assert got["cluster_id"].tolist() == full_run_clusters["cluster_id"].tolist()
+
+
 def test_rollback_removes_registered_and_unregistered_deltas(
     spark, batches, tmp_path_factory
 ):
