@@ -59,6 +59,49 @@ def host_canary() -> dict:
     return {"matmul_s": round(t_mm, 3), "memcopy_s": round(t_cp, 3)}
 
 
+def parallel_canary(low: int, high: int) -> dict:
+    """Fixed-work COMPUTE-bound burn in N independent processes, at the
+    pair's two parallelism levels — catches the host failure mode the
+    single-core canary cannot: episode-3 (2026-08-17) showed clean
+    single-core scores while 8 parallel L2-resident matmuls achieved only
+    1.07x the aggregate throughput of 2 (the hypervisor was delivering
+    ~2-4 real cores regardless of vCPU count). On a healthy host the
+    compute-bound ratio is ~1.0 at any ladder rung; < 0.8 means NO guest
+    software can evidence scaling on this pair right now and the run
+    should be marked INVALID."""
+    import concurrent.futures as cf
+    import time
+
+    def burn_many(n: int) -> float:
+        # one short fixed-work task per process; aggregate tasks/sec
+        code = (
+            "import numpy as np\n"
+            "rng = np.random.default_rng(0)\n"
+            "a = rng.standard_normal((256, 256)).astype('float32')\n"
+            "m = a\n"
+            "for _ in range(400): m = (m @ a) / 256.0\n"
+        )
+        t0 = time.perf_counter()
+        with cf.ProcessPoolExecutor(max_workers=n) as ex:
+            list(ex.map(_burn_subprocess, [code] * n))
+        return n / (time.perf_counter() - t0)
+
+    thr_low, thr_high = burn_many(low), burn_many(high)
+    ratio = (thr_high / thr_low) / (high / low)
+    return {
+        "cpu_thr_low": round(thr_low, 2),
+        "cpu_thr_high": round(thr_high, 2),
+        "cpu_scaling": round(ratio, 3),
+    }
+
+
+def _burn_subprocess(code: str) -> int:
+    import subprocess as sp
+
+    sp.run([sys.executable, "-c", code], check=True)
+    return 0
+
+
 def run_one(parallelism: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
     wh = tempfile.mkdtemp(prefix=f"dedup_scale_{parallelism}_")
     cmd = [
@@ -90,6 +133,9 @@ def main() -> None:
     zip_path = os.path.join(tempfile.gettempdir(), "dedup_pyfiles.zip")
     make_pyfiles_zip(zip_path)
 
+    pcan = parallel_canary(args.low, args.high)
+    print(f"parallel canary: {json.dumps(pcan)}", file=sys.stderr)
+
     res = {}
     canary = {}
     for p in (args.low, args.high):
@@ -118,6 +164,8 @@ def main() -> None:
         "canary_low": canary[args.low],
         "canary_high": canary[args.high],
         "canary_drift": round(drift, 3),
+        "parallel_canary": pcan,
+        "host_can_scale": pcan["cpu_scaling"] >= 0.8,
     }
     print(json.dumps(summary))
 
@@ -127,6 +175,11 @@ def main() -> None:
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "a") as f:
         note = f" (host drift {drift:.0%})" if drift > 0.10 else ""
+        if not summary["host_can_scale"]:
+            note += (
+                f" (INVALID: host cpu-scaling ceiling "
+                f"{pcan['cpu_scaling']} < 0.8 — no software can scale here)"
+            )
         f.write(
             f"- rep{args.replicate} local[{args.low}]->local[{args.high}]: "
             f"{thr_lo} -> {thr_hi} docs/sec, "
