@@ -181,6 +181,14 @@ def run(
         # instead of serializing behind it (VERDICT r1 serial-fraction
         # item). Only local pyarrow/file IO happens off-thread — no Spark
         # calls. Threads are joined before run() returns.
+        # cumulative session shuffle/IO snapshot at this stage's commit —
+        # measured counterpart of docs/SCALE.md's analytic shuffle budget
+        # (per-stage deltas are approximate under pipelined bg commits;
+        # the cumulative series and final totals are exact)
+        from .spark_metrics import shuffle_totals
+
+        shuf = {f"cum_{k}": v for k, v in shuffle_totals(spark).items()}
+
         def harvest(path=wh.path(name), stage=name, wall=wall_ms, man=manifest):
             parts = _partition_metrics(path)
             rows = [
@@ -190,6 +198,7 @@ def run(
                     "wall_ms": wall,
                     "config_hash": wh.config_hash,
                     "ts": man["written_at"],
+                    **shuf,
                     **p,
                 }
                 for p in parts

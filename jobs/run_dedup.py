@@ -111,6 +111,13 @@ def main() -> None:
             summary["urls"] = stats["urls"]
             summary["clusters"] = stats["clusters"]
             summary["dup_rate"] = round(1 - stats["clusters"] / stats["urls"], 4)
+        # measured shuffle volume for the whole session (input prep + run):
+        # at two parallelism levels these must match — the evidence that
+        # scaling legs did identical work and only the host varied
+        from dedup.spark_metrics import shuffle_totals
+
+        for k, v in shuffle_totals(spark).items():
+            summary[k.replace("_bytes", "_mb")] = round(v / 1e6, 1)
         print(json.dumps(summary))
     finally:
         spark.stop()
