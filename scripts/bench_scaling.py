@@ -74,7 +74,15 @@ def parallel_canary(low: int, high: int) -> dict:
 
     def burn_many(n: int) -> float:
         # one short fixed-work task per process; aggregate tasks/sec
+        # pin BLAS to one thread per process: without this each burn
+        # process spawns a full OpenBLAS pool and 8 x 32 threads thrash,
+        # reading as a host failure that isn't there (measured: 0.30
+        # "scaling" on a host whose plain spin loops scaled at 0.79)
         code = (
+            "import os\n"
+            "for v in ('OPENBLAS_NUM_THREADS', 'OMP_NUM_THREADS',\n"
+            "          'MKL_NUM_THREADS'):\n"
+            "    os.environ[v] = '1'\n"
             "import numpy as np\n"
             "rng = np.random.default_rng(0)\n"
             "a = rng.standard_normal((256, 256)).astype('float32')\n"

@@ -40,6 +40,13 @@ import multiprocessing as mp
 import os
 import time
 
+# pin BLAS BEFORE numpy import: OpenBLAS sizes its pool at library load,
+# so setting these in main() was too late — forked workers inherited a
+# full-width pool and N x 32 threads thrashed, reading as a host failure
+# (measured: cpu "ceiling" 0.269 on a host whose pinned burn scales 1.0)
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[_var] = "1"
+
 import numpy as np
 
 
@@ -78,9 +85,6 @@ def aggregate_throughput(kind: str, nproc: int, iters: int) -> float:
 
 
 def main() -> None:
-    # keep BLAS single-threaded so nproc is the only parallelism knob
-    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
-        os.environ.setdefault(var, "1")
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", nargs="+", default=["1,4", "2,8"])
     ap.add_argument("--iters", type=int, default=30)
