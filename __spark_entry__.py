@@ -722,6 +722,36 @@ def _repetition_stats(spark, sf_dir):
     )
 
 
+def _quality_filter_verdict(spark, sf_dir):
+    """Composite keep/drop verdict with reason codes — the decision
+    operator a training-data pipeline actually ships (Gopher/C4-style
+    rule stack) on top of the individual stat queries: minimum word
+    count, mean-word-length band, duplicate-word fraction, alphabetic
+    word fraction. Every rule is an array expression over ONE split of
+    the text (array_distinct/filter/size — no explode, no shuffle, pure
+    map over the scan), so at 100 TB the filter runs at scan speed and
+    the reason codes aggregate into the per-source rollup."""
+    w = F.split("text", " ")
+    n = F.size(w)
+    mean_wlen = (F.length("text") - (n - F.lit(1))) / n
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(w)) / n
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))) / n
+    flags = F.array(
+        F.when(n < 40, F.lit("too_short")),
+        F.when((mean_wlen < 3) | (mean_wlen > 10), F.lit("word_len")),
+        F.when(dup_frac > 0.55, F.lit("repetitive")),
+        F.when(alpha_frac < 0.8, F.lit("non_alpha")),
+    )
+    reasons = F.array_join(F.filter(flags, lambda x: x.isNotNull()), ",")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+        F.round(dup_frac, 5).alias("dup_frac"),
+        F.round(mean_wlen, 5).alias("mean_wlen"),
+    )
+
+
 def _shard_assign(spark, sf_dir):
     """Deterministic output sharding — the write-side of a training-data
     pipeline: multiplicative-hash shard id (16 shards) with per-shard doc
@@ -1050,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _exact_dup_groups,
         "line_dedup_reconstruct": _line_dedup_reconstruct,
         "pii_scrub": _pii_scrub,
+        "quality_filter_verdict": _quality_filter_verdict,
         "prefix_near_dup_pairs": _prefix_near_dup_pairs,
         "salted_group_count": _salted_group_count,
         "broadcast_star_join": _broadcast_star_join,
@@ -1565,6 +1596,34 @@ def oracle_sql() -> dict[str, str]:
                      '\(?[0-9]{3}\)?[ -][0-9]{3}-[0-9]{4}',
                      '<PHONE>', 'g') AS clean_text
             FROM injected
+        """,
+        "quality_filter_verdict": """
+            WITH m AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n,
+                     (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                       / len(string_split(text, ' ')) AS mean_wlen,
+                     1.0 - len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) AS dup_frac,
+                     len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+                       / len(string_split(text, ' ')) AS alpha_frac
+              FROM documents
+            ), r AS (
+              SELECT doc_id, dup_frac, mean_wlen,
+                     coalesce(array_to_string(list_filter([
+                       CASE WHEN n < 40 THEN 'too_short' END,
+                       CASE WHEN mean_wlen < 3 OR mean_wlen > 10
+                            THEN 'word_len' END,
+                       CASE WHEN dup_frac > 0.55 THEN 'repetitive' END,
+                       CASE WHEN alpha_frac < 0.8 THEN 'non_alpha' END
+                     ], x -> x IS NOT NULL), ','), '') AS reasons
+              FROM m
+            )
+            SELECT doc_id, reasons = '' AS keep, reasons,
+                   round(dup_frac, 5) AS dup_frac,
+                   round(mean_wlen, 5) AS mean_wlen
+            FROM r
         """,
         "prefix_near_dup_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
