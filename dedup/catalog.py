@@ -141,19 +141,29 @@ class Warehouse:
         directory is kept: it documents the base state and a stray delete
         crash there would orphan nothing)."""
         import shutil
+        import uuid as _uuid
 
-        old_gen = self._read_pointer(table)
-        gen = f"{table}__gen_{self.run_id}"
-        gen_path = os.path.join(self.root, gen)
-        if os.path.exists(gen_path):  # leftover from a crashed attempt
-            shutil.rmtree(gen_path)
+        # The generation name must be unique PER ATTEMPT, not per run_id:
+        # a crashed increment is replayed under the same run_id
+        # (streaming keys it by batch_id), and if the crashed attempt had
+        # already swapped the pointer, a run_id-keyed name would collide
+        # with the LIVE generation — deleting it before a rewrite whose
+        # lineage still reads it (the new clusters are computed FROM the
+        # old ones). Unique names make the rewrite read-safe; superseded
+        # and orphaned generations are GC'd only after the swap.
+        gen = f"{table}__gen_{self.run_id}_{_uuid.uuid4().hex[:6]}"
         manifest = self.write(df, gen, partition_by=partition_by)
         tmp = self._pointer_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"dir": gen, "run_id": self.run_id}, f)
         os.replace(tmp, self._pointer_path(table))
-        if old_gen is not None and old_gen != gen:
-            shutil.rmtree(os.path.join(self.root, old_gen), ignore_errors=True)
+        # GC the superseded generation plus any orphans left by crashed
+        # attempts (safe under the increment protocol's single-writer,
+        # serial-increments discipline: nothing can be reading them once
+        # the pointer has moved on).
+        for d in os.listdir(self.root):
+            if d.startswith(f"{table}__gen_") and d != gen:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
         return manifest
 
     # -- delta registry (incremental runs; see dedup/incremental.py) --------

@@ -157,14 +157,53 @@ def test_replace_protocol_edges(spark, tmp_path):
     df = spark.range(3).withColumnRenamed("id", "url")
     wh1.replace(df, "clusters")  # first generation
     ptr = os.path.join(root, "clusters.POINTER.json")
-    assert json.load(open(ptr))["dir"] == "clusters__gen_run1"
+    gen1 = json.load(open(ptr))["dir"]
+    assert gen1.startswith("clusters__gen_run1_")
     with pytest.raises(ValueError, match="pointer-versioned"):
         wh1.write(df, "clusters")
     wh2 = Warehouse(root, "cfg", "run2")
     wh2.replace(df, "clusters")
-    assert json.load(open(ptr))["dir"] == "clusters__gen_run2"
-    assert not os.path.exists(os.path.join(root, "clusters__gen_run1"))
+    gen2 = json.load(open(ptr))["dir"]
+    assert gen2.startswith("clusters__gen_run2_")
+    assert not os.path.exists(os.path.join(root, gen1))
     assert wh2.read(spark, "clusters").count() == 3
+
+
+def test_replace_same_run_id_reads_live_generation(spark, tmp_path):
+    """The crashed-replay shape: an increment that already swapped the
+    pointer is re-attempted under the SAME run_id, and the replacement
+    data is computed FROM the live generation (exactly what
+    run_incremental does — old cluster stars feed the new CC). The
+    rewrite must not disturb the generation its own lineage reads: the
+    attempt-unique generation name keeps the live directory intact until
+    the new one has committed and the pointer has moved."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dedup.catalog import Warehouse
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    wh = Warehouse(root, "cfg", "s1")
+    wh.replace(spark.range(5).withColumnRenamed("id", "url"), "clusters")
+    ptr = os.path.join(root, "clusters.POINTER.json")
+    gen_live = json.load(open(ptr))["dir"]
+
+    # replacement LAZILY derived from the live generation, same run_id
+    derived = wh.read(spark, "clusters").withColumn(
+        "url", F.col("url") + F.lit(100)
+    )
+    wh.replace(derived, "clusters")
+
+    gen_new = json.load(open(ptr))["dir"]
+    assert gen_new != gen_live
+    got = sorted(r.url for r in wh.read(spark, "clusters").collect())
+    assert got == [100, 101, 102, 103, 104]
+    # superseded generation GC'd after the swap; only the new one remains
+    gens = [d for d in os.listdir(root) if d.startswith("clusters__gen_")]
+    assert gens == [gen_new]
 
 
 def test_incremental_requires_completed_base(spark, split_corpus, tmp_path_factory):

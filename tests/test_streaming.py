@@ -193,3 +193,35 @@ def test_rollback_removes_registered_and_unregistered_deltas(
     assert wh.registered_deltas("pages") == []
     assert not os.path.exists(os.path.join(wh_root, "pages_delta_s7"))
     assert not os.path.exists(os.path.join(wh_root, "signatures_delta_s7"))
+
+
+def test_stream_replay_after_crash_past_pointer_swap(
+    spark, batches, full_run_clusters, tmp_path_factory
+):
+    """The worst crash point: an increment finished EVERYTHING — deltas
+    committed + registered, global clusters/canonical generations swapped
+    — and died before writing its done marker. The replay reruns the same
+    batch under the same run_id; it must roll the deltas back, recompute
+    them, rewrite the globals FROM the already-swapped generation without
+    corrupting it (catalog.replace uses attempt-unique generation names),
+    and end at the full-run partition."""
+    source = str(tmp_path_factory.mktemp("stream_src_swap"))
+    wh_root = str(tmp_path_factory.mktemp("wh_stream_swap"))
+    ckpt1 = str(tmp_path_factory.mktemp("stream_ckpt_swap1"))
+    ckpt2 = str(tmp_path_factory.mktemp("stream_ckpt_swap2"))
+    for i, pdf in enumerate(batches):
+        p = _write_batch_file(spark, pdf, source, f"batch_{i}")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    first = run_stream(spark, source, DEFAULT, wh_root, ckpt1)
+    assert first.processed == [0, 1, 2]
+    # forge the crash: batch 2 completed but its done marker never landed
+    os.remove(os.path.join(wh_root, "_STREAM_BATCH_2.done"))
+
+    replay = run_stream(spark, source, DEFAULT, wh_root, ckpt2)
+    assert sorted(replay.skipped) == [0, 1]
+    assert replay.processed == [2]
+    assert replay.rolled_back == [2]  # its deltas existed and were rolled back
+    got = _clusters_pd(spark, wh_root)
+    assert got["url"].tolist() == full_run_clusters["url"].tolist()
+    assert got["cluster_id"].tolist() == full_run_clusters["cluster_id"].tolist()
