@@ -395,14 +395,14 @@ def _cos_planes():
     ).astype(np.int64)
 
 
-def _cosine_near_dup(spark, sf_dir):  # embedding near-dup tier (exact verify)
-    """Canonical vector pairs with cosine similarity >= 0.35 (the fixture's
-    ~99.9th percentile; its max pairwise cosine is ~0.51, so a 0.9 cut
-    would be vacuously empty). Candidates come from the multi-table
-    hyperplane-LSH rule above (integer fixed-point codes — exactly
-    mirrored by the DuckDB twin); the exact cosine runs on candidate
-    pairs only, with the same float expression and rounding as before."""
-    e = _t(spark, sf_dir, "embeddings")
+def _cos_codes_jvm(e):
+    """All-table hyperplane codes (vec_id, c0..c{L-1}) as pure JVM
+    expressions — one aggregate(zip_with) fold per (table, bit) with the
+    plane constants inlined as literal arrays. Exact, but the expression
+    tree carries L*B*64 literal nodes, costs seconds of driver-side
+    construction + analysis, and gets recomputed by every consumer of
+    `coded`. Kept as the independent reference the Arrow path is
+    parity-gated against (tests/test_ann.py)."""
     planes = _cos_planes()
     qvec = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * F.lit(float(_ANN_Q)))
@@ -424,7 +424,60 @@ def _cosine_near_dup(spark, sf_dir):  # embedding near-dup tier (exact verify)
                 idot(F.col("q"), plane) > 0, F.lit(1 << i)
             ).otherwise(0)
         coded_cols.append(code.alias(f"c{t}"))
-    coded = e.select("vec_id", qvec.alias("q")).select("vec_id", *coded_cols)
+    return e.select("vec_id", qvec.alias("q")).select("vec_id", *coded_cols)
+
+
+def _cos_codes_arrow(e):
+    """All-table hyperplane codes (vec_id, c0..c{L-1}) in ONE vectorized
+    Arrow pass: quantize the batch to int64 fixed point, one integer
+    matmul against all L*B planes, pack sign bits per table. Bit-identical
+    to _cos_codes_jvm (and to the DuckDB twin) because every step is
+    exact: float->double widening, one float64 multiply + floor (IEEE,
+    same result in NumPy and the JVM), then pure int64 arithmetic
+    (|dot| < 2^46 — no overflow on either side). Parity is gated by
+    tests/test_ann.py::test_cos_codes_arrow_matches_jvm.
+
+    This is the scale shape the north rule mandates (vectorized Arrow, no
+    per-row Python): per 10k-row batch the work is one (10k x 64) @
+    (64 x 48) integer matmul, and the plan ships a ~3 KB plane table to
+    each task instead of a megabyte-scale literal expression tree built
+    in seconds of driver time and re-evaluated once per consumer."""
+    import numpy as np
+    import pandas as pd
+
+    P = _cos_planes().reshape(_COS_L * _COS_B, 64)  # int64
+    bitw = 1 << np.arange(_COS_B, dtype=np.int64)
+    schema = "vec_id long, " + ", ".join(f"c{t} long" for t in range(_COS_L))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                * float(_ANN_Q)
+            ).astype(np.int64)
+            bits = (X @ P.T > 0).astype(np.int64).reshape(-1, _COS_L, _COS_B)
+            codes = (bits * bitw).sum(axis=2)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for t in range(_COS_L):
+                out[f"c{t}"] = codes[:, t]
+            yield pd.DataFrame(out)
+
+    return e.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
+def _cosine_near_dup(spark, sf_dir):  # embedding near-dup tier (exact verify)
+    """Canonical vector pairs with cosine similarity >= 0.35 (the fixture's
+    ~99.9th percentile; its max pairwise cosine is ~0.51, so a 0.9 cut
+    would be vacuously empty). Candidates come from the multi-table
+    hyperplane-LSH rule above (integer fixed-point codes — exactly
+    mirrored by the DuckDB twin, computed in one vectorized Arrow matmul;
+    JVM-fold parity gated in tests/test_ann.py); the exact cosine runs on
+    candidate pairs only, with the same float expression and rounding as
+    before."""
+    e = _t(spark, sf_dir, "embeddings")
+    coded = _cos_codes_arrow(e)
     home = coded.select(
         "vec_id",
         F.explode(

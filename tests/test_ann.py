@@ -144,3 +144,20 @@ def test_ann_hyperplane_recall(spark):
     n = len(truth)
     n_results = e.queries()["ann_hyperplane"](spark, sf).count()
     assert n_results <= n * 5
+
+
+def test_cos_codes_arrow_matches_jvm(spark):
+    """The vectorized Arrow code kernel must be bit-identical to the
+    JVM literal-fold reference on the real fixture embeddings — the
+    gate that lets cosine_near_dup ship the Arrow path while the DuckDB
+    twin keeps recomputing codes from the same plane constants."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cols = ["vec_id"] + [f"c{t}" for t in range(e._COS_L)]
+    jvm = {r["vec_id"]: tuple(r[c] for c in cols[1:])
+           for r in e._cos_codes_jvm(emb).collect()}
+    arrow = {r["vec_id"]: tuple(r[c] for c in cols[1:])
+             for r in e._cos_codes_arrow(emb).collect()}
+    assert arrow == jvm and len(arrow) == emb.count()
