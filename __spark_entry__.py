@@ -54,6 +54,77 @@ def _doc_sha(spark, sf_dir):  # F9
     )
 
 
+def _url_canonicalize(spark, sf_dir):
+    """URL normalization + variant collapse — the crawl-side dedup tier
+    that runs BEFORE any content hashing: strip the query string and
+    fragment, extract host and registrable domain, and count how many raw
+    URL variants collapse onto each canonical URL (the synthesized corpus
+    carries `?v=N` mutation variants exactly like tracking-parameter
+    noise on a real crawl).
+
+    Scale shape: pure JVM string expressions over the scan (no UDF)
+    feeding one hash-partitioned aggregation with map-side partials —
+    at 100 TB this is a single scan + one shuffle keyed by canonical
+    URL, and the canonical key is what every downstream per-URL stage
+    joins on."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+
+    cache = ensure_cache(sf_dir, DEFAULT)
+    pages = spark.read.parquet(f"{cache}/pages.parquet")
+    base = F.substring_index(
+        F.substring_index(F.col("url"), "#", 1), "?", 1
+    )
+    host = F.substring_index(F.substring_index(base, "://", -1), "/", 1)
+    domain = F.array_join(F.slice(F.split(host, "\\."), -2, 2), ".")
+    return (
+        pages.select(
+            base.alias("canonical_url"),
+            host.alias("host"),
+            domain.alias("domain"),
+        )
+        .groupBy("canonical_url", "host", "domain")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
+def _unigram_rarity(spark, sf_dir):
+    """Unigram rarity score — the KenLM-shaped quality signal (documents
+    made of globally rare tokens score high; boilerplate made of the
+    corpus's most common tokens scores low) computed with INTEGER-EXACT
+    arithmetic so Spark and DuckDB agree bit-for-bit: per word w,
+    rarity(w) = N_total_words DIV count(w) (integer division), per doc
+    the sum and the integer mean over its words. No floats anywhere, so
+    no cross-engine summation-order ambiguity.
+
+    Scale shape: one explode -> groupBy(word) with map-side combine
+    (vocab-sized result), a broadcast of the single-row corpus total,
+    then a (word)-keyed join back to the exploded stream and a per-doc
+    reaggregation. The vocab join is the standard shape; Zipf skew on
+    common words is absorbed by the map-side partials."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    rarity = counts.crossJoin(F.broadcast(total)).select(
+        "w", F.expr("n_total div cnt").alias("rarity")
+    )
+    return (
+        words.join(rarity, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("rarity").cast("long").alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "rarity_sum",
+            F.expr("rarity_sum div n_words").alias("rarity_mean"),
+        )
+    )
+
+
 def _exact_dup_groups(spark, sf_dir):  # exact hash-groupBy dedup tier
     """Exact deduplication, the tier below MinHash: group documents by
     sha256(text), keep groups of size > 1, canonical = min doc_id — the
@@ -1048,6 +1119,23 @@ def _ivf_knn(spark, sf_dir):
     return ivf_topk(e, IvfConfig(), k=5, query_filter=F.col("vec_id") < 5)
 
 
+def _semdedup_keep(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023) semantic dedup verdict over the
+    embedding column: k-means clusters (shared dedup/ivf.py kernels),
+    within-cluster fixed-point cosine pairs, drop every vector with a
+    lower-id in-cluster neighbor at cosine >= tau (dedup/semdedup.py).
+    All-integer/boolean output; k-means is not SQL-expressible, so the
+    DuckDB twin SELECTs the materialized single-process NumPy reference
+    (contract_oracle `semdedup`); exact Spark-vs-reference parity also
+    gated in tests/test_semdedup.py."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+    from dedup.semdedup import SemDedupConfig, semdedup_keep
+
+    ensure_cache(sf_dir, DEFAULT)  # materialize the twin's reference table
+    return semdedup_keep(_t(spark, sf_dir, "embeddings"), SemDedupConfig())
+
+
 # ---------------------------------------------------------------------------
 # dedup-pipeline queries. Each is twinned against DuckDB SQL over the NumPy
 # oracle's materialized stage tables (dedup/contract_oracle.py):
@@ -1130,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": _scan_filter_project,
         "doc_sha": _doc_sha,
+        "url_canonicalize": _url_canonicalize,
+        "unigram_rarity": _unigram_rarity,
         "exact_dup_groups": _exact_dup_groups,
         "line_dedup_reconstruct": _line_dedup_reconstruct,
         "pii_scrub": _pii_scrub,
@@ -1154,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hyperplane": _ann_hyperplane,  # SQL-twinned; recall pytest-gated too
         "mplsh_knn": _mplsh_knn,  # twinned vs materialized NumPy reference
         "ivf_knn": _ivf_knn,  # twinned vs materialized NumPy reference
+        "semdedup_keep": _semdedup_keep,  # twinned vs NumPy reference
         "langid_score": _langid_score,
         "ngram_decontam": _ngram_decontam,
         "boilerplate_ngrams": _boilerplate_ngrams,
@@ -1479,6 +1570,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(dist_exact, 5) AS dist
             FROM read_parquet('{_cache01}/ivf_topk.parquet')
         """,
+        "semdedup_keep": f"""
+            SELECT vec_id, cid, keep
+            FROM read_parquet('{_cache01}/semdedup.parquet')
+        """,
         "ann_hyperplane": _ann_twin_sql(),
         "langid_score": _langid_twin_sql(),
         "ngram_decontam": """
@@ -1585,6 +1680,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_sha": """
             SELECT doc_id, sha256(text) AS sha FROM documents
+        """,
+        "url_canonicalize": f"""
+            WITH p AS (
+              SELECT split_part(split_part(url, '#', 1), '?', 1) AS canonical_url
+              FROM read_parquet('{_cache01}/pages.parquet')
+            ), h AS (
+              SELECT canonical_url,
+                     split_part(split_part(canonical_url, '://', 2), '/', 1) AS host
+              FROM p
+            )
+            SELECT canonical_url, host,
+                   array_to_string(
+                     list_slice(string_split(host, '.'), -2, -1), '.'
+                   ) AS domain,
+                   count(*) AS n_variants
+            FROM h GROUP BY 1, 2, 3
+        """,
+        "unigram_rarity": """
+            WITH words AS (
+              SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+              FROM documents
+            ), counts AS (
+              SELECT w, count(*) AS cnt FROM words GROUP BY w
+            ), total AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counts
+            ), rarity AS (
+              SELECT w, n_total // cnt AS rarity FROM counts, total
+            )
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   CAST(sum(rarity) AS BIGINT) AS rarity_sum,
+                   CAST(sum(rarity) AS BIGINT) // count(*) AS rarity_mean
+            FROM words JOIN rarity USING (w)
+            GROUP BY doc_id
         """,
         "exact_dup_groups": """
             WITH u AS (

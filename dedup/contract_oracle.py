@@ -44,7 +44,7 @@ MARKER = "_COMPLETE.json"
 
 TABLES = (
     "pages", "signatures", "buckets", "candidates", "verified", "clusters",
-    "mplsh_topk", "modality_features", "ivf_topk",
+    "mplsh_topk", "modality_features", "ivf_topk", "semdedup",
 )
 
 
@@ -63,7 +63,8 @@ def _kernel_hash() -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     for mod in (
         "hashing.py", "features.py", "oracle.py", "synth.py",
-        "mplsh.py", "modality.py", "ivf.py",
+        "mplsh.py", "modality.py", "ivf.py", "semdedup.py",
+        "contract_oracle.py",  # twin materialization logic itself
     ):
         with open(os.path.join(here, mod), "rb") as f:
             h.update(f.read())
@@ -120,6 +121,19 @@ def _ivf_reference_frame(sf_dir: str):
     return reference_topk_frame(emb, IvfConfig(), k=5, n_queries=5)
 
 
+def _semdedup_reference_frame(sf_dir):
+    """Single-process NumPy reference for the `semdedup_keep` contract
+    query (dedup/semdedup.py reference_keep_frame — shared-kernel k-means
+    + fixed-point within-cluster cosine, no Spark); all-integer/boolean
+    output, so the twin SELECT is exact with no rounding convention."""
+    import pandas as pd
+
+    from .semdedup import SemDedupConfig, reference_keep_frame
+
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return reference_keep_frame(emb, SemDedupConfig())
+
+
 def _modality_reference_frame(pages):
     """Row-wise NumPy reference for `modality_features`
     (dedup/modality.py features_one) over the synthesized pages corpus —
@@ -173,6 +187,7 @@ def ensure_cache(sf_dir: str, cfg=None) -> str:
         "mplsh_topk": _mplsh_reference_frame(sf_dir),
         "modality_features": _modality_reference_frame(corpus.pages),
         "ivf_topk": _ivf_reference_frame(sf_dir),
+        "semdedup": _semdedup_reference_frame(sf_dir),
     }
     for name, df in frames.items():
         df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
