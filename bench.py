@@ -101,10 +101,19 @@ def main() -> None:
         qs = contract.queries()
         for name in ["lineitem_pricing_summary", "broadcast_star_join",
                      "window_topk_values", "knn_l2", "prefix_near_dup_pairs",
-                     "ngram_decontam", "repetition_stats"]:
+                     "ngram_decontam", "repetition_stats", "unigram_rarity"]:
             t0 = time.monotonic()
             qs[name](spark, args.sf_dir).count()
             timings[name] = round(time.monotonic() - t0, 2)
+
+        # semdedup via the raw operator (the contract entry also
+        # materializes the twin's NumPy reference cache — don't time that)
+        from dedup.semdedup import SemDedupConfig, semdedup_keep
+
+        emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+        t0 = time.monotonic()
+        semdedup_keep(emb, SemDedupConfig()).count()
+        timings["semdedup_keep"] = round(time.monotonic() - t0, 2)
 
         print(
             json.dumps(
