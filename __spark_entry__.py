@@ -54,6 +54,63 @@ def _doc_sha(spark, sf_dir):  # F9
     )
 
 
+def _suffix_dup_spans(spark, sf_dir):
+    """Exact substring duplicates via the suffix-array construction
+    (north rule: "a suffix-array pass for exact substring duplicates"):
+    emit the L-char truncated suffix at every WORD-START anchor, group
+    equal suffixes (the suffix-array bucket: in a sorted suffix array,
+    suffixes sharing an L-prefix are adjacent — grouping by the L-prefix
+    is the same partition computed shuffle-side), and report doc pairs
+    sharing >= 1 anchor with the shared-anchor count. L=40 matches the
+    fixture's planted 40-char prefix near-dups.
+
+    Hot-group cap (> 64 docs on one suffix: boilerplate, dropped — the
+    stage-3 count->filter rule, mirrored in the twin) bounds the pair
+    explosion. Word-start anchors (not every char) are the standard
+    suffix-ARRAY-over-words reduction; the dedup pipeline's winnowing
+    tier (dedup/hashing.py) is the sampled version of this same pass
+    that scales to 100 TB — this query is the literal full-fidelity
+    semantics it approximates, and both are exact on spans that start
+    at an anchor."""
+    L, CAP = 40, 64
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    suf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w)),
+                    lambda i: F.substring(
+                        F.array_join(
+                            F.slice(w, i, F.size(w) - i + F.lit(1)), " "
+                        ),
+                        1,
+                        L,
+                    ),
+                )
+            ).alias("suffix"),
+        )
+        .filter(F.length("suffix") >= L)
+        .distinct()  # one anchor per (doc, suffix): multiplicity is not a span
+    )
+    eligible = (
+        suf.groupBy("suffix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter((F.col("n_docs") > 1) & (F.col("n_docs") <= CAP))
+        .select("suffix")
+    )
+    s = suf.join(eligible, "suffix", "left_semi")
+    a = s.select("suffix", F.col("doc_id").alias("doc_a"))
+    b = s.select("suffix", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "suffix")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_anchors"))
+    )
+
+
 def _url_canonicalize(spark, sf_dir):
     """URL normalization + variant collapse — the crawl-side dedup tier
     that runs BEFORE any content hashing: strip the query string and
@@ -1218,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": _scan_filter_project,
         "doc_sha": _doc_sha,
+        "suffix_dup_spans": _suffix_dup_spans,
         "url_canonicalize": _url_canonicalize,
         "unigram_rarity": _unigram_rarity,
         "exact_dup_groups": _exact_dup_groups,
@@ -1680,6 +1738,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_sha": """
             SELECT doc_id, sha256(text) AS sha FROM documents
+        """,
+        "suffix_dup_spans": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), suf AS (
+              SELECT DISTINCT doc_id,
+                     substr(
+                       array_to_string(list_slice(w, i, len(w)), ' '), 1, 40
+                     ) AS suffix
+              FROM d, UNNEST(range(1, len(w) + 1)) AS t(i)
+            ), suf40 AS (
+              SELECT doc_id, suffix FROM suf WHERE length(suffix) >= 40
+            ), eligible AS (
+              SELECT suffix FROM suf40 GROUP BY suffix
+              HAVING count(*) > 1 AND count(*) <= 64
+            ), s AS (
+              SELECT doc_id, suffix FROM suf40 JOIN eligible USING (suffix)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared_anchors
+            FROM s a JOIN s b USING (suffix)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "url_canonicalize": f"""
             WITH p AS (
