@@ -150,6 +150,57 @@ import os as _os
 STAGE3_STRATEGY = _os.environ.get("DEDUP_STAGE3_STRATEGY", "window")
 
 
+def _dense_url_ids(urls: DataFrame) -> DataFrame:
+    """(url) -> (url, uid): dense 0-based ids ordered by url, so uid
+    comparisons and min-uid aggregates are isomorphic to their url forms
+    (the canonical-pair `<` and the sha tier's min-root survive encoding
+    unchanged).
+
+    Why ids: stage 3 shuffles the entries relation (~64 rows/doc) and the
+    candidate-pair aggregate; an 8-byte long in place of a ~50-byte url
+    string roughly halves the bytes of the two biggest shuffles in the
+    pipeline and makes their sort/compare keys fixed-width. Encode/decode
+    joins ride AQE (the dictionary side broadcasts at fixture scale; at
+    10^12 docs a deployment materializes the dictionary once at stage-1
+    commit and bucket-aligns it instead of rebuilding per run —
+    docs/SCALE.md).
+
+    Assignment is partition-parallel (range-partition by url, offsets
+    from per-partition counts, row_number within partition) — NOT a
+    single-partition global window, which would serialize at scale. The
+    map is a pure function of the url SET: range bounds move partition
+    boundaries, never the global sort order, so ids are deterministic
+    across runs, parallelism levels, and task retries."""
+    from pyspark.sql import Window
+
+    n_part = max(2, urls.sparkSession.sparkContext.defaultParallelism)
+    s = (
+        urls.distinct()
+        .repartitionByRange(n_part, "url")
+        .withColumn("pid", F.spark_partition_id())
+        # eager localCheckpoint: ONE materialization of the range shuffle.
+        # Without it the counts job and the consuming plan would each
+        # re-run repartitionByRange with independently SAMPLED bounds,
+        # and offsets computed from one partitioning would be applied to
+        # the other — colliding ids. (Same lineage-freeze pattern as the
+        # CC iterations, dedup/cc.py.)
+        .localCheckpoint()
+    )
+    cnts = {r["pid"]: r["count"] for r in s.groupBy("pid").count().collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(cnts):
+        offsets[pid] = acc
+        acc += cnts[pid]
+    omap = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    w = Window.partitionBy("pid").orderBy("url")
+    return s.select(
+        "url",
+        (F.row_number().over(w) - 1 + omap[F.col("pid")]).alias("uid"),
+    )
+
+
 def stage3_candidates(
     signatures: DataFrame,
     buckets: DataFrame,
@@ -167,10 +218,12 @@ def stage3_candidates(
 
     The three capped generators (lsh buckets, simhash combo keys, winnow
     fingerprints) normalize to a single entries relation
-    (gen, k1 int, k2 long, url, is_probe) and share ONE
-    count -> semi-join -> collect_list -> explode pipeline: ~6 shuffles
-    total instead of ~4 per generator. The sha tier stays separate (star
-    pairs are linear and skew-proof, no cap needed).
+    (gen, k1 int, k2 long, uid long, is_probe) — uid is a dense url id
+    (see _dense_url_ids), so every shuffle in this stage moves fixed-width
+    longs, not url strings — and share ONE count -> semi-join ->
+    collect_list -> explode pipeline: ~6 shuffles total instead of ~4 per
+    generator. The sha tier stays separate (star pairs are linear and
+    skew-proof, no cap needed).
 
     Skew defense (A1): the pre-count is a plain groupBy().count() — Spark's
     map-side partial aggregation makes a hot key cost one counter row per
@@ -180,31 +233,73 @@ def stage3_candidates(
     """
     from pyspark import StorageLevel
 
-    # (a) LSH home+probe buckets. Dedup (band, key, url) with the home row
-    # winning (min over boolean: false < true) — J2 semantics.
+    # URL -> dense-id encode FIRST: every url in buckets/signatures
+    # appears in the signatures relation (incremental passes the
+    # base+delta union), so one dictionary covers all three generators
+    # and the sha tier. The encode joins are map-side at fixture scale
+    # (AQE broadcasts the dictionary) and every shuffle in this stage —
+    # the lsh J2 dedup, the entries window/semijoin, the pair distinct —
+    # then moves 8-byte longs instead of url strings; pairs decode back
+    # to urls once, after the cap and the distinct. is_new rides the
+    # dictionary row, so the incremental mark costs no extra join over
+    # entries.
+    marks = (
+        new_urls.select("url").withColumn("is_new", F.lit(True))
+        if new_urls is not None
+        else None
+    )
+    ids = _dense_url_ids(signatures.select("url"))
+    if marks is not None:
+        ids = ids.join(marks, "url", "left").withColumn(
+            "is_new", F.coalesce("is_new", F.lit(False))
+        )
+    else:
+        ids = ids.withColumn("is_new", F.lit(True))
+
+    # (a) LSH home+probe buckets. Dedup (band, key, uid) with the home row
+    # winning (min over boolean: false < true) — J2 semantics; this
+    # groupBy shuffles encoded rows (is_new is per-uid constant, so max
+    # is just "carry it through the agg").
+    # Generator codes (tinyint, decoded only in the tiny dropped/sources
+    # outputs) keep the entries shuffle key fully numeric: (g, k1, k2,
+    # uid) sorts/compares as fixed-width machine words, no string keys
+    # anywhere in the hot shuffles. GEN_NAMES maps g back; SRC_CODES maps
+    # g to the source code whose numeric order equals the alphabetical
+    # order of source names ('lsh','sha','simhash','winnow'), so sorting
+    # codes before decoding equals sorting names.
+    GEN_NAMES = F.array(F.lit("lsh"), F.lit("simhash"), F.lit("winnow"))
     lsh_entries = (
-        buckets.groupBy("band", "bucket_key", "url")
-        .agg(F.min("is_probe").alias("is_probe"))
+        buckets.join(ids, "url")
+        .groupBy("band", "bucket_key", "uid")
+        .agg(
+            F.min("is_probe").alias("is_probe"),
+            F.max("is_new").alias("is_new"),
+        )
         .select(
-            F.lit("lsh").alias("gen"),
+            F.lit(0).cast("tinyint").alias("g"),
             F.col("band").alias("k1"),
             F.col("bucket_key").alias("k2"),
-            "url",
+            "uid",
             "is_probe",
+            "is_new",
         )
     )
     # (c) simhash combination keys, (d) winnow fingerprints (distinct per
     # doc via np.unique in the kernel, so count(*) == distinct urls).
-    sim_entries = _simhash_combo_entries(signatures, cfg).select(
-        F.lit("simhash").alias("gen"), "k1", "k2", "url", F.lit(False).alias("is_probe")
+    # Both encode map-side (broadcast dict); at 10^12 docs a deployment
+    # materializes uids into the committed tables at stage-1 commit so
+    # these joins disappear entirely (docs/SCALE.md).
+    sim_entries = _simhash_combo_entries(signatures, cfg).join(ids, "url").select(
+        F.lit(1).cast("tinyint").alias("g"), "k1", "k2", "uid",
+        F.lit(False).alias("is_probe"), "is_new",
     )
     fp_entries = signatures.select(
-        F.lit("winnow").alias("gen"),
+        "url",
+        F.lit(2).cast("tinyint").alias("g"),
         F.lit(0).alias("k1"),
         F.explode("fingerprints").alias("k2"),
-        "url",
         F.lit(False).alias("is_probe"),
-    )
+    ).join(ids, "url").select("g", "k1", "k2", "uid", "is_probe", "is_new")
     # entries are persisted (spilling): consumed by the counts pass, the
     # collect_list pass, and (via counts) the dropped_buckets action.
     # Scale note: at the 100 TB design point the entries relation (~64
@@ -213,25 +308,14 @@ def stage3_candidates(
     # committed buckets/signatures tables (two cheap columnar scans);
     # persist wins only while entries fit the cluster's storage fraction.
     entries = lsh_entries.unionByName(sim_entries).unionByName(fp_entries)
-    marks = (
-        new_urls.select("url").withColumn("is_new", F.lit(True))
-        if new_urls is not None
-        else None
-    )
-    if marks is not None:
-        entries = entries.join(marks, "url", "left").withColumn(
-            "is_new", F.coalesce("is_new", F.lit(False))
-        )
-    else:
-        entries = entries.withColumn("is_new", F.lit(True))
-    keys = ["gen", "k1", "k2"]
+    keys = ["g", "k1", "k2"]
     strategy = strategy or STAGE3_STRATEGY
 
     def _dropped_from_counts(cdf: DataFrame) -> DataFrame:
         return cdf.filter(F.col("n") > cfg.max_bucket).select(
-            F.col("gen").alias("generator"),
+            F.element_at(GEN_NAMES, F.col("g") + 1).alias("generator"),
             # key strings match the oracle's per-generator formats
-            F.when(F.col("gen") == "winnow", F.col("k2").cast("string"))
+            F.when(F.col("g") == 2, F.col("k2").cast("string"))
             .otherwise(F.concat_ws(":", "k1", "k2"))
             .alias("key"),
             F.col("n").cast("long").alias("n"),
@@ -261,7 +345,7 @@ def stage3_candidates(
             marked.filter((F.col("n") >= 2) & (F.col("n") <= cfg.max_bucket))
             .groupBy(*keys)
             .agg(
-                F.collect_list(F.struct("url", "is_probe", "is_new")).alias(
+                F.collect_list(F.struct("uid", "is_probe", "is_new")).alias(
                     "members"
                 )
             )
@@ -286,7 +370,7 @@ def stage3_candidates(
             entries.join(ok_keys.select(*keys), keys, "left_semi")
             .groupBy(*keys)
             .agg(
-                F.collect_list(F.struct("url", "is_probe", "is_new")).alias(
+                F.collect_list(F.struct("uid", "is_probe", "is_new")).alias(
                     "members"
                 )
             )
@@ -297,48 +381,76 @@ def stage3_candidates(
     # probe-probe exclusion ([MPLSH] J2: the index stores home buckets,
     # perturbation applies to queries) only bites for gen='lsh' — other
     # generators have is_probe=false everywhere.
+    # source codes ordered like the source names sort: lsh=0 sha=1
+    # simhash=2 winnow=3 (g 0/1/2 -> s 0/2/3)
+    SRC_NAMES = F.array(
+        F.lit("lsh"), F.lit("sha"), F.lit("simhash"), F.lit("winnow")
+    )
+    g_to_src = F.array(
+        F.lit(0).cast("tinyint"), F.lit(2).cast("tinyint"),
+        F.lit(3).cast("tinyint"),
+    )
     pairs = (
-        grouped.select("gen", F.explode("members").alias("a"), F.col("members"))
-        .select("gen", "a", F.explode("members").alias("b"))
-        .filter(F.col("a.url") < F.col("b.url"))
+        grouped.select("g", F.explode("members").alias("a"), F.col("members"))
+        .select("g", "a", F.explode("members").alias("b"))
+        .filter(F.col("a.uid") < F.col("b.uid"))
         .filter(~(F.col("a.is_probe") & F.col("b.is_probe")))
         .filter(F.col("a.is_new") | F.col("b.is_new"))
         .select(
-            F.col("a.url").alias("url_a"),
-            F.col("b.url").alias("url_b"),
-            F.col("gen").alias("source"),
+            F.col("a.uid").alias("uid_a"),
+            F.col("b.uid").alias("uid_b"),
+            F.element_at(g_to_src, F.col("g") + 1).alias("s"),
         )
     )
 
-    # (b) exact tier: identical text_sha -> star pairs.
+    # (b) exact tier: identical text_sha -> star pairs, in id space. The
+    # root = min-uid member == min-url member (uid/url order isomorphism);
+    # min over a (uid, is_new) struct carries the root's incremental mark
+    # without a join back.
+    sha_members = (
+        signatures.select("text_sha", "url")
+        .join(ids, "url")
+        .select("text_sha", "uid", "is_new")
+    )
     sha_roots = (
-        signatures.groupBy("text_sha")
-        .agg(F.min("url").alias("url_a"), F.count("*").alias("n"))
+        sha_members.groupBy("text_sha")
+        .agg(
+            F.min(F.struct("uid", "is_new")).alias("r"),
+            F.count("*").alias("n"),
+        )
         .filter(F.col("n") >= 2)
+        .select("text_sha", F.col("r.uid").alias("uid_a"), F.col("r.is_new").alias("_na"))
     )
     sha_pairs = (
-        signatures.select("text_sha", "url")
-        .join(sha_roots.select("text_sha", "url_a"), "text_sha")
-        .filter(F.col("url") != F.col("url_a"))
-        .select("url_a", F.col("url").alias("url_b"))
-        .withColumn("source", F.lit("sha"))
+        sha_members.join(sha_roots, "text_sha")
+        .filter(F.col("uid") != F.col("uid_a"))
+        .filter(F.col("_na") | F.col("is_new"))
+        .select("uid_a", F.col("uid").alias("uid_b"))
+        .withColumn("s", F.lit(1).cast("tinyint"))
     )
-    if marks is not None:
-        # incremental: keep only star pairs touching a new url (old-old
-        # connectivity is already encoded in the base run's clusters)
-        ma = marks.select(F.col("url").alias("url_a"), F.col("is_new").alias("_na"))
-        mb = marks.select(F.col("url").alias("url_b"), F.col("is_new").alias("_nb"))
-        sha_pairs = (
-            sha_pairs.join(ma, "url_a", "left")
-            .join(mb, "url_b", "left")
-            .filter(
-                F.coalesce("_na", F.lit(False)) | F.coalesce("_nb", F.lit(False))
-            )
-            .drop("_na", "_nb")
-        )
 
-    candidates = pairs.unionByName(sha_pairs).groupBy("url_a", "url_b").agg(
-        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources")
+    # distinct + sources agg on fixed-width (long, long, tinyint) rows,
+    # THEN one decode join back to urls (uid order == url order keeps
+    # url_a < url_b) and one code->name transform (code order == name
+    # order, so sorting before decoding is sorting the names).
+    cand_ids = pairs.unionByName(sha_pairs).groupBy("uid_a", "uid_b").agg(
+        F.array_sort(F.collect_set("s")).alias("srcs")
+    )
+    dict_a = ids.select(F.col("uid").alias("uid_a"), F.col("url").alias("url_a"))
+    dict_b = ids.select(F.col("uid").alias("uid_b"), F.col("url").alias("url_b"))
+    candidates = (
+        cand_ids.join(dict_a, "uid_a")
+        .join(dict_b, "uid_b")
+        .select(
+            "url_a",
+            "url_b",
+            F.array_join(
+                F.transform(
+                    "srcs", lambda s: F.element_at(SRC_NAMES, s + 1)
+                ),
+                ",",
+            ).alias("sources"),
+        )
     )
     return CandidateOut(candidates, dropped, entries, counts)
 
