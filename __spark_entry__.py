@@ -72,7 +72,14 @@ def _suffix_dup_spans(spark, sf_dir):
     that scales to 100 TB — this query is the literal full-fidelity
     semantics it approximates, and both are exact on spans that start
     at an anchor."""
-    L, CAP = 40, 64
+    # WIN words bound each anchor's materialized text before the L-char
+    # truncate: joining the full remaining suffix first would be
+    # O(len(text)^2) transient bytes per doc (a 10k-word doc ~ 300 MB).
+    # The windowed join is identical to the full-suffix truncate whenever
+    # the window reaches L chars (50 nonempty words + 49 separators > 40),
+    # and the SAME window rule is pinned in the DuckDB twin, so the two
+    # engines agree by construction even on degenerate token streams.
+    L, CAP, WIN = 40, 64, 50
     d = _t(spark, sf_dir, "documents")
     w = F.split("text", " ")
     suf = (
@@ -82,11 +89,7 @@ def _suffix_dup_spans(spark, sf_dir):
                 F.transform(
                     F.sequence(F.lit(1), F.size(w)),
                     lambda i: F.substring(
-                        F.array_join(
-                            F.slice(w, i, F.size(w) - i + F.lit(1)), " "
-                        ),
-                        1,
-                        L,
+                        F.array_join(F.slice(w, i, WIN), " "), 1, L
                     ),
                 )
             ).alias("suffix"),
@@ -129,11 +132,24 @@ def _url_canonicalize(spark, sf_dir):
 
     cache = ensure_cache(sf_dir, DEFAULT)
     pages = spark.read.parquet(f"{cache}/pages.parquet")
+    # Every extraction is anchored the same way in both engines (the
+    # DuckDB twin mirrors each rule): scheme split on the FIRST '://'
+    # (missing scheme -> ''), and a registrable domain that clamps to the
+    # whole host when it has fewer than two labels. The fixture's
+    # uniform urls never exercise the degenerate paths, so the rules are
+    # pinned here rather than left to engine defaults (which differ:
+    # substring_index takes the LAST '://', and Spark's negative slice
+    # returns empty where DuckDB's clamps).
     base = F.substring_index(
         F.substring_index(F.col("url"), "#", 1), "?", 1
     )
-    host = F.substring_index(F.substring_index(base, "://", -1), "/", 1)
-    domain = F.array_join(F.slice(F.split(host, "\\."), -2, 2), ".")
+    host = F.coalesce(
+        F.get(F.split(F.get(F.split(base, "://"), 1), "/"), 0), F.lit("")
+    )
+    labels = F.split(host, "\\.")
+    domain = F.when(
+        F.size(labels) >= 2, F.array_join(F.slice(labels, -2, 2), ".")
+    ).otherwise(host)
     return (
         pages.select(
             base.alias("canonical_url"),
@@ -1745,7 +1761,7 @@ def oracle_sql() -> dict[str, str]:
             ), suf AS (
               SELECT DISTINCT doc_id,
                      substr(
-                       array_to_string(list_slice(w, i, len(w)), ' '), 1, 40
+                       array_to_string(list_slice(w, i, i + 49), ' '), 1, 40
                      ) AS suffix
               FROM d, UNNEST(range(1, len(w) + 1)) AS t(i)
             ), suf40 AS (
@@ -1772,9 +1788,10 @@ def oracle_sql() -> dict[str, str]:
               FROM p
             )
             SELECT canonical_url, host,
-                   array_to_string(
-                     list_slice(string_split(host, '.'), -2, -1), '.'
-                   ) AS domain,
+                   CASE WHEN len(string_split(host, '.')) >= 2
+                        THEN array_to_string(
+                          list_slice(string_split(host, '.'), -2, -1), '.')
+                        ELSE host END AS domain,
                    count(*) AS n_variants
             FROM h GROUP BY 1, 2, 3
         """,

@@ -165,6 +165,51 @@ def reference_topk_frame(emb_pdf, cfg: IvfConfig, k: int = 5, n_queries: int = 5
 
 
 # ---------------------------------------------------------------------------
+# Spark building blocks (shared by ivf_topk and dedup/semdedup.py)
+# ---------------------------------------------------------------------------
+def train_from_df(emb_df, cfg: IvfConfig) -> np.ndarray:
+    """Centroids from the bounded driver-side training sample: rows with
+    vec_id < sample_cap, collected and sorted by vec_id so the sample
+    matrix — and therefore the model — is independent of scan order."""
+    from pyspark.sql import functions as F
+
+    sample = sorted(
+        emb_df.select("vec_id", "embedding")
+        .filter(F.col("vec_id") < cfg.sample_cap)
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    return train_centroids(S, cfg)
+
+
+def assign_df(emb_df, C: np.ndarray):
+    """(vec_id, embedding) -> (vec_id, cid): nearest-centroid assignment,
+    one vectorized Arrow matmul per batch against the broadcast-captured
+    centroid model."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("cid", T.LongType(), False),
+        ]
+    )
+
+    def assign_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cid": assign(X, C)}
+            )
+
+    return emb_df.select("vec_id", "embedding").mapInPandas(assign_fn, schema)
+
+
+# ---------------------------------------------------------------------------
 # Spark operator
 # ---------------------------------------------------------------------------
 def ivf_topk(emb_df, cfg: IvfConfig, k: int = 5, query_filter=None):
@@ -181,12 +226,7 @@ def ivf_topk(emb_df, cfg: IvfConfig, k: int = 5, query_filter=None):
     from pyspark.sql import Window, functions as F, types as T
 
     narrow = emb_df.select("vec_id", "embedding")
-    sample = sorted(
-        narrow.filter(F.col("vec_id") < cfg.sample_cap).collect(),
-        key=lambda r: r["vec_id"],
-    )
-    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    C = train_centroids(S, cfg)
+    C = train_from_df(narrow, cfg)
 
     key_schema = T.StructType(
         [
@@ -194,15 +234,6 @@ def ivf_topk(emb_df, cfg: IvfConfig, k: int = 5, query_filter=None):
             T.StructField("cid", T.LongType(), False),
         ]
     )
-
-    def index_fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cid": assign(X, C)}
-            )
 
     def query_fn(batches):
         for pdf in batches:
@@ -218,7 +249,7 @@ def ivf_topk(emb_df, cfg: IvfConfig, k: int = 5, query_filter=None):
                 }
             )
 
-    idx = narrow.mapInPandas(index_fn, key_schema)
+    idx = assign_df(narrow, C)
     qsrc = narrow if query_filter is None else narrow.filter(query_filter)
     qprobes = qsrc.mapInPandas(query_fn, key_schema).withColumnRenamed(
         "vec_id", "query_id"

@@ -82,7 +82,12 @@ def reference_keep_frame(emb_pdf, cfg: SemDedupConfig):
         members = np.nonzero(a == c)[0]
         order = members[np.argsort(ids[members], kind="stable")]
         for pos, i in enumerate(order):
+            if norms[i] == 0:
+                continue  # zero-norm is never anyone's duplicate (pinned
+                #           rule, mirrored by the Spark norm predicate)
             for j in order[:pos]:  # strictly lower ids
+                if norms[j] == 0:
+                    continue
                 num = float((Xq[i] * Xq[j]).sum())
                 den = np.sqrt(float(norms[i]) * float(norms[j]))
                 if num / den >= cfg.tau:
@@ -106,34 +111,13 @@ def semdedup_keep(emb_df, cfg: SemDedupConfig):
     pairwise volume is bounded by the cluster granularity k, which
     scales with n in production (paper's recipe), exactly like the
     LSH tiers bound theirs by bucket width."""
-    import pandas as pd
-    from pyspark.sql import functions as F, types as T
+    from pyspark.sql import functions as F
+
+    from .ivf import assign_df, train_from_df
 
     narrow = emb_df.select("vec_id", "embedding")
-    sample = sorted(
-        narrow.filter(F.col("vec_id") < cfg.ivf.sample_cap).collect(),
-        key=lambda r: r["vec_id"],
-    )
-    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    C = train_centroids(S, cfg.ivf)
-
-    asg_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType(), False),
-            T.StructField("cid", T.LongType(), False),
-        ]
-    )
-
-    def assign_fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cid": assign(X, C)}
-            )
-
-    asg = narrow.mapInPandas(assign_fn, asg_schema)
+    C = train_from_df(narrow, cfg.ivf)
+    asg = assign_df(narrow, C)
 
     qvec = F.transform(
         "embedding",
@@ -147,9 +131,17 @@ def semdedup_keep(emb_df, cfg: SemDedupConfig):
             lambda acc, v: acc + v,
         )
 
-    base = narrow.select(
-        "vec_id", qvec.alias("q")
-    ).withColumn("n2", idot(F.col("q"), F.col("q"))).join(asg, "vec_id")
+    # eager localCheckpoint: base feeds three subtrees (both pair sides
+    # and the final keep projection) — without it one action re-runs the
+    # Arrow assignment pass and the quantize/norm folds three times. At
+    # production scale a deployment materializes (vec_id, q, n2, cid) as
+    # a table instead.
+    base = (
+        narrow.select("vec_id", qvec.alias("q"))
+        .withColumn("n2", idot(F.col("q"), F.col("q")))
+        .join(asg, "vec_id")
+        .localCheckpoint()
+    )
 
     a = base.select(
         F.col("cid"),
@@ -166,9 +158,15 @@ def semdedup_keep(emb_df, cfg: SemDedupConfig):
     cos = idot(F.col("qa"), F.col("qb")) / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
+    # zero-norm guard: an all-zero quantized vector gives cos = 0/0 = NaN,
+    # which Spark's ordering ranks ABOVE tau while NumPy's comparison is
+    # False — without the explicit norm predicate the two sides disagree
+    # on degenerate vectors. Rule (both engines, pinned): a zero-norm
+    # vector is never anyone's duplicate.
     dropped = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .filter(cos >= F.lit(cfg.tau))
         .select(F.col("id_b").alias("vec_id"))
         .distinct()

@@ -195,10 +195,14 @@ def _dense_url_ids(urls: DataFrame) -> DataFrame:
         *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
     )
     w = Window.partitionBy("pid").orderBy("url")
+    # checkpoint the FINAL projection too: stage 3 plugs the dictionary
+    # into ~6 subtrees (three generator encodes, the sha tier, both
+    # decode sides); without this each consumer re-runs the row_number
+    # window's exchange+sort over the whole url set.
     return s.select(
         "url",
         (F.row_number().over(w) - 1 + omap[F.col("pid")]).alias("uid"),
-    )
+    ).localCheckpoint()
 
 
 def stage3_candidates(

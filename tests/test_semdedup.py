@@ -73,3 +73,30 @@ def test_semdedup_reference_is_deterministic():
     a = reference_keep_frame(emb, SemDedupConfig())
     b = reference_keep_frame(emb.sample(frac=1.0, random_state=3), SemDedupConfig())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_semdedup_zero_norm_vectors_never_duplicate(spark):
+    """A vector whose components all quantize to zero has cos = 0/0
+    against everything; the pinned rule (both engines) is that zero-norm
+    vectors are never anyone's duplicate — Spark's NaN ordering would
+    otherwise silently drop the paired side while NumPy keeps it."""
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((50, 64))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X[7] = 0.0  # quantizes to the zero vector
+    X[31] = 2.0 ** -21  # sub-quantum positive values: also zero-norm
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(50),
+            "embedding": [r.astype(np.float32) for r in X],
+        }
+    )
+    cfg = SemDedupConfig(tau=0.9, ivf=IvfConfig(k_centroids=4, sample_cap=50))
+    got = _collect_map(semdedup_keep(spark.createDataFrame(pdf), cfg))
+    ref = reference_keep_frame(pdf, cfg)
+    want = {
+        int(r.vec_id): (int(r.cid), bool(r.keep))
+        for r in ref.itertuples(index=False)
+    }
+    assert got == want
+    assert got[7][1] is True and got[31][1] is True
