@@ -1153,6 +1153,35 @@ def _modality_features(spark, sf_dir):
     return modality_features(pages)
 
 
+def _modality_thumbnail(spark, sf_dir):
+    """Resize plumbing over the opaque payload (the task's 'resize' op):
+    source dims from the stubbed decode, integer aspect-clamped output
+    dims, deterministic fake thumbnail fingerprint (dedup/modality.py
+    thumbnail_one). Arrow mapInPandas 1:1; twin SELECTs the materialized
+    single-process reference."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+    from dedup.modality import modality_thumbnail
+
+    cache = ensure_cache(sf_dir, DEFAULT)
+    pages = spark.read.parquet(f"{cache}/pages.parquet")
+    return modality_thumbnail(pages)
+
+
+def _frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (the task's 'frame-sample' op): every-4th
+    pseudo-frame of the fake container probe, one row per sampled frame —
+    the 1->N Arrow expansion a video decode UDF emits (dedup/modality.py
+    frame_sample_rows). Twin SELECTs the materialized reference."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+    from dedup.modality import modality_frame_sample
+
+    cache = ensure_cache(sf_dir, DEFAULT)
+    pages = spark.read.parquet(f"{cache}/pages.parquet")
+    return modality_frame_sample(pages)
+
+
 def _mplsh_knn(spark, sf_dir):
     """Classic p-stable multi-probe LSH k-NN ([E2LSH] keys + [MPLSH §3-4]
     query-directed probing) — the reference's literal algorithm
@@ -1331,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
         "modality_features": _modality_features,  # twinned vs NumPy reference
+        "modality_thumbnail": _modality_thumbnail,  # twinned vs reference
+        "frame_sample": _frame_sample,  # twinned vs reference
         # dedup engine stages — each SQL-twinned against the NumPy oracle's
         # materialized tables / a DuckDB restatement of the stage transform
         # (see _dedup_twin_sql); ALSO bit-for-bit parity-tested in pytest
@@ -1639,6 +1670,14 @@ def oracle_sql() -> dict[str, str]:
         "modality_features": f"""
             SELECT url, n_bytes, entropy, magic, fake_width, fake_height
             FROM read_parquet('{_cache01}/modality_features.parquet')
+        """,
+        "modality_thumbnail": f"""
+            SELECT url, src_width, src_height, out_width, out_height, thumb_sha
+            FROM read_parquet('{_cache01}/modality_thumbs.parquet')
+        """,
+        "frame_sample": f"""
+            SELECT url, frame_no, n_frames, frame_sha
+            FROM read_parquet('{_cache01}/modality_frames.parquet')
         """,
         "ivf_knn": f"""
             SELECT query_id, neighbor_id, round(dist_exact, 5) AS dist

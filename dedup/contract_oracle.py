@@ -45,6 +45,7 @@ MARKER = "_COMPLETE.json"
 TABLES = (
     "pages", "signatures", "buckets", "candidates", "verified", "clusters",
     "mplsh_topk", "modality_features", "ivf_topk", "semdedup",
+    "modality_thumbs", "modality_frames",
 )
 
 
@@ -148,6 +149,30 @@ def _modality_reference_frame(pages):
     return pd.DataFrame(rows, columns=MODALITY_FEATURES_COLUMNS)
 
 
+def _modality_thumbs_reference_frame(pages):
+    """Row-wise reference for `modality_thumbnail` (dedup/modality.py
+    thumbnail_one) — same kernel as the Spark mapInPandas, single-process."""
+    import pandas as pd
+
+    from .modality import THUMBNAIL_COLUMNS, thumbnail_one
+
+    rows = [thumbnail_one(u, d) for u, d in zip(pages["url"], pages["html"])]
+    return pd.DataFrame(rows, columns=THUMBNAIL_COLUMNS)
+
+
+def _modality_frames_reference_frame(pages):
+    """Row-wise reference for `frame_sample` (dedup/modality.py
+    frame_sample_rows) — the 1->N expansion run single-process."""
+    import pandas as pd
+
+    from .modality import FRAME_SAMPLE_COLUMNS, frame_sample_rows
+
+    rows = []
+    for u, d in zip(pages["url"], pages["html"]):
+        rows.extend(frame_sample_rows(u, d))
+    return pd.DataFrame(rows, columns=FRAME_SAMPLE_COLUMNS)
+
+
 def ensure_cache(sf_dir: str, cfg=None) -> str:
     """Run the NumPy oracle on the corpus synthesized from sf_dir (if not
     already cached for this config + kernel version) and return the cache
@@ -188,6 +213,8 @@ def ensure_cache(sf_dir: str, cfg=None) -> str:
         "modality_features": _modality_reference_frame(corpus.pages),
         "ivf_topk": _ivf_reference_frame(sf_dir),
         "semdedup": _semdedup_reference_frame(sf_dir),
+        "modality_thumbs": _modality_thumbs_reference_frame(corpus.pages),
+        "modality_frames": _modality_frames_reference_frame(corpus.pages),
     }
     for name, df in frames.items():
         df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)

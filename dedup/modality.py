@@ -100,6 +100,136 @@ def features_one(url: str, data: bytes | None) -> dict:
     }
 
 
+def resize_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Aspect-preserving clamp to max_dim on the long side — pure integer
+    math (floor), so every engine and the single-process reference agree
+    exactly. The REAL pixel resample lives behind the same decode stub as
+    decode_image; this is the dimension plan a deployment's PIL/ffmpeg
+    call receives."""
+    if max(w, h) <= max_dim:
+        return int(w), int(h)
+    if w >= h:
+        return int(max_dim), max(1, (h * max_dim) // w)
+    return max(1, (w * max_dim) // h), int(max_dim)
+
+
+THUMBNAIL_COLUMNS = [
+    "url", "src_width", "src_height", "out_width", "out_height", "thumb_sha"
+]
+
+
+def thumbnail_one(url: str, data: bytes | None, max_dim: int = 64) -> dict:
+    """Resize plumbing for one payload: source dims from the (stubbed)
+    decode, integer aspect-clamped output dims, and a deterministic fake
+    thumbnail fingerprint (sha256 of payload head + planned dims) standing
+    in for the resampled bytes — stable across runs/partitions so the
+    downstream schema and tests are exact while the codec is stubbed."""
+    import hashlib
+
+    data = data or b""
+    w, h = fake_decode_dims(data)
+    ow, oh = resize_dims(w, h, max_dim)
+    sha = hashlib.sha256(data[:64] + f"|{ow}x{oh}".encode()).hexdigest()
+    return {
+        "url": url,
+        "src_width": int(w),
+        "src_height": int(h),
+        "out_width": int(ow),
+        "out_height": int(oh),
+        "thumb_sha": sha,
+    }
+
+
+def fake_frame_count(data: bytes) -> int:
+    """Deterministic stand-in for container probing: 1..24 pseudo-frames
+    derived from the payload hash (a real deployment asks ffprobe)."""
+    return 1 + int((H.fnv1a64(data[:64]) >> 20) % 24)
+
+
+FRAME_SAMPLE_COLUMNS = ["url", "frame_no", "n_frames", "frame_sha"]
+
+
+def frame_sample_rows(
+    url: str, data: bytes | None, every_n: int = 4
+) -> list[dict]:
+    """Frame-sampling plumbing for one payload: every_n-th frame index of
+    the (fake) frame count, each with a deterministic fake frame
+    fingerprint. The 1->N row expansion is the real thing under test —
+    it is exactly the batch shape a video pipeline's decode UDF emits."""
+    import hashlib
+
+    data = data or b""
+    n = fake_frame_count(data)
+    out = []
+    for i in range(0, n, every_n):
+        sha = hashlib.sha256(data[:64] + f"|frame|{i}".encode()).hexdigest()
+        out.append(
+            {"url": url, "frame_no": i, "n_frames": n, "frame_sha": sha}
+        )
+    return out
+
+
+def _thumbnail_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("src_width", T.LongType(), False),
+            T.StructField("src_height", T.LongType(), False),
+            T.StructField("out_width", T.LongType(), False),
+            T.StructField("out_height", T.LongType(), False),
+            T.StructField("thumb_sha", T.StringType(), False),
+        ]
+    )
+
+
+def _frame_sample_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("frame_no", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("frame_sha", T.StringType(), False),
+        ]
+    )
+
+
+def modality_thumbnail(pages_df, max_dim: int = 64):
+    """pages -> one resize-plan row per payload (Arrow batches, 1:1)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def fn(batches):
+        for pdf in batches:
+            rows = [
+                thumbnail_one(u, d, max_dim)
+                for u, d in zip(pdf["url"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=THUMBNAIL_COLUMNS)
+
+    narrow = pages_df.select("url", F.col("html").alias("payload"))
+    return narrow.mapInPandas(fn, _thumbnail_schema())
+
+
+def modality_frame_sample(pages_df, every_n: int = 4):
+    """pages -> sampled-frame rows (Arrow batches, 1:N expansion)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for u, d in zip(pdf["url"], pdf["payload"]):
+                rows.extend(frame_sample_rows(u, d, every_n))
+            yield pd.DataFrame(rows, columns=FRAME_SAMPLE_COLUMNS)
+
+    narrow = pages_df.select("url", F.col("html").alias("payload"))
+    return narrow.mapInPandas(fn, _frame_sample_schema())
+
+
 def make_modality_features_fn():
     """mapInPandas fn: (url, payload binary) -> typed modality metadata.
     Arrow batches in, Arrow batches out — no per-row Python UDF."""

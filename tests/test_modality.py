@@ -67,3 +67,48 @@ def test_spark_features_match_reference(spark):
     # every synthesized page is html-wrapped -> magic must detect it
     assert (got["magic"] == "html").all()
     assert (got["n_bytes"] > 0).all()
+
+
+def test_resize_dims_integer_clamp():
+    from dedup.modality import resize_dims
+
+    assert resize_dims(32, 16, 64) == (32, 16)       # under cap: unchanged
+    assert resize_dims(128, 64, 64) == (64, 32)       # landscape clamp
+    assert resize_dims(50, 200, 64) == (16, 64)       # portrait clamp
+    assert resize_dims(1000, 1, 64) == (64, 1)        # floor never hits 0
+    assert resize_dims(1, 1000, 64) == (1, 64)
+
+
+def test_thumbnail_and_frame_sample_match_reference(spark):
+    """The mapInPandas resize plan and the 1->N frame expansion must equal
+    their single-process kernels row-for-row on the fixture corpus — the
+    frames the DuckDB twins SELECT."""
+    from dedup.contract_oracle import (
+        _modality_frames_reference_frame,
+        _modality_thumbs_reference_frame,
+    )
+    from dedup.modality import modality_frame_sample, modality_thumbnail
+    from dedup.synth import make_corpus
+
+    corpus = make_corpus("/root/testdata/sf0.001", seed=42)
+    pages = spark.createDataFrame(corpus.pages)
+
+    got_t = sorted(
+        tuple(r) for r in modality_thumbnail(pages).collect()
+    )
+    want_t = sorted(
+        tuple(r) for r in
+        _modality_thumbs_reference_frame(corpus.pages).itertuples(index=False)
+    )
+    assert got_t == want_t
+
+    got_f = sorted(tuple(r) for r in modality_frame_sample(pages).collect())
+    want_f = sorted(
+        tuple(r) for r in
+        _modality_frames_reference_frame(corpus.pages).itertuples(index=False)
+    )
+    assert got_f == want_f
+    # the expansion really expands: more frame rows than docs, and every
+    # doc contributes at least frame 0
+    assert len(got_f) > len(corpus.pages)
+    assert {t[0] for t in got_f} == set(corpus.pages["url"])
