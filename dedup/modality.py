@@ -15,11 +15,18 @@ hash so downstream schema/partitioning logic is exercised end-to-end.
 
 from __future__ import annotations
 
-from typing import Iterator
+import hashlib
 
 import numpy as np
 
 from . import hashing as H
+
+#: resize/frame-sample parameters shared by the Spark wrappers, the
+#: per-row kernels, AND the contract-oracle reference builders — one
+#: constant each, so the twin can never silently diverge from the query
+#: over a default-argument edit.
+THUMB_MAX_DIM = 64
+FRAME_EVERY_N = 4
 
 #: magic-number table (prefix -> modality tag); html is the corpus's
 #: native payload, the image/audio rows exercise the sniffing path
@@ -118,14 +125,12 @@ THUMBNAIL_COLUMNS = [
 ]
 
 
-def thumbnail_one(url: str, data: bytes | None, max_dim: int = 64) -> dict:
+def thumbnail_one(url: str, data: bytes | None, max_dim: int = THUMB_MAX_DIM) -> dict:
     """Resize plumbing for one payload: source dims from the (stubbed)
     decode, integer aspect-clamped output dims, and a deterministic fake
     thumbnail fingerprint (sha256 of payload head + planned dims) standing
     in for the resampled bytes — stable across runs/partitions so the
     downstream schema and tests are exact while the codec is stubbed."""
-    import hashlib
-
     data = data or b""
     w, h = fake_decode_dims(data)
     ow, oh = resize_dims(w, h, max_dim)
@@ -150,14 +155,12 @@ FRAME_SAMPLE_COLUMNS = ["url", "frame_no", "n_frames", "frame_sha"]
 
 
 def frame_sample_rows(
-    url: str, data: bytes | None, every_n: int = 4
+    url: str, data: bytes | None, every_n: int = FRAME_EVERY_N
 ) -> list[dict]:
     """Frame-sampling plumbing for one payload: every_n-th frame index of
     the (fake) frame count, each with a deterministic fake frame
     fingerprint. The 1->N row expansion is the real thing under test —
     it is exactly the batch shape a video pipeline's decode UDF emits."""
-    import hashlib
-
     data = data or b""
     n = fake_frame_count(data)
     out = []
@@ -197,25 +200,11 @@ def _frame_sample_schema():
     )
 
 
-def modality_thumbnail(pages_df, max_dim: int = 64):
-    """pages -> one resize-plan row per payload (Arrow batches, 1:1)."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    def fn(batches):
-        for pdf in batches:
-            rows = [
-                thumbnail_one(u, d, max_dim)
-                for u, d in zip(pdf["url"], pdf["payload"])
-            ]
-            yield pd.DataFrame(rows, columns=THUMBNAIL_COLUMNS)
-
-    narrow = pages_df.select("url", F.col("html").alias("payload"))
-    return narrow.mapInPandas(fn, _thumbnail_schema())
-
-
-def modality_frame_sample(pages_df, every_n: int = 4):
-    """pages -> sampled-frame rows (Arrow batches, 1:N expansion)."""
+def _per_payload_op(pages_df, row_fn, columns, schema, expand: bool):
+    """The shared per-payload op skeleton every modality operator uses:
+    column-prune to (url, payload) before the Arrow boundary, run the
+    row kernel over each batch, emit 1:1 rows (expand=False) or a 1:N
+    expansion (expand=True, the video-decode shape)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -223,35 +212,43 @@ def modality_frame_sample(pages_df, every_n: int = 4):
         for pdf in batches:
             rows = []
             for u, d in zip(pdf["url"], pdf["payload"]):
-                rows.extend(frame_sample_rows(u, d, every_n))
-            yield pd.DataFrame(rows, columns=FRAME_SAMPLE_COLUMNS)
+                out = row_fn(u, d)
+                rows.extend(out) if expand else rows.append(out)
+            yield pd.DataFrame(rows, columns=columns)
 
     narrow = pages_df.select("url", F.col("html").alias("payload"))
-    return narrow.mapInPandas(fn, _frame_sample_schema())
+    return narrow.mapInPandas(fn, schema)
 
 
-def make_modality_features_fn():
-    """mapInPandas fn: (url, payload binary) -> typed modality metadata.
-    Arrow batches in, Arrow batches out — no per-row Python UDF."""
-    import pandas as pd
+def modality_thumbnail(pages_df, max_dim: int = THUMB_MAX_DIM):
+    """pages -> one resize-plan row per payload (Arrow batches, 1:1)."""
+    return _per_payload_op(
+        pages_df,
+        lambda u, d: thumbnail_one(u, d, max_dim),
+        THUMBNAIL_COLUMNS,
+        _thumbnail_schema(),
+        expand=False,
+    )
 
-    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows = [
-                features_one(u, d)
-                for u, d in zip(pdf["url"], pdf["payload"])
-            ]
-            yield pd.DataFrame(rows, columns=MODALITY_FEATURES_COLUMNS)
 
-    return fn
+def modality_frame_sample(pages_df, every_n: int = FRAME_EVERY_N):
+    """pages -> sampled-frame rows (Arrow batches, 1:N expansion)."""
+    return _per_payload_op(
+        pages_df,
+        lambda u, d: frame_sample_rows(u, d, every_n),
+        FRAME_SAMPLE_COLUMNS,
+        _frame_sample_schema(),
+        expand=True,
+    )
 
 
 def modality_features(pages_df):
     """pages(url, html, ...) -> modality metadata table. Column-pruned to
     (url, payload) before the Arrow boundary (P1)."""
-    from pyspark.sql import functions as F
-
-    narrow = pages_df.select("url", F.col("html").alias("payload"))
-    return narrow.mapInPandas(
-        make_modality_features_fn(), modality_features_schema()
+    return _per_payload_op(
+        pages_df,
+        features_one,
+        MODALITY_FEATURES_COLUMNS,
+        modality_features_schema(),
+        expand=False,
     )
