@@ -485,6 +485,57 @@ def _knn_l2(spark, sf_dir):  # W2 + F12: brute-force exact kNN over embeddings
     )
 
 
+def _knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-k — the exact baseline every ANN tier here
+    (ann_hyperplane, mplsh_knn, ivf_knn) approximates, as the task names
+    it. The rank key is the FIXED-POINT cosine (floor(x*2^20) int64
+    quantization, exact integer dots, one double divide) — bit-identical
+    in Spark and DuckDB, so top-5 membership can never flip on
+    cross-engine float summation order; zero-norm vectors are excluded
+    on both sides (the semdedup rule). crossJoin broadcasts the 5-row
+    query side; at scale the ANN tiers are the path and this is the
+    recall yardstick."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * F.lit(float(_ANN_Q)))
+    )
+
+    def idot(a_col, b_col):
+        return F.aggregate(
+            F.zip_with(a_col, b_col, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    base = e.select("vec_id", qvec.alias("qn")).withColumn(
+        "n2", idot(F.col("qn"), F.col("qn"))
+    )
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qn").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    cos = idot(F.col("qq"), F.col("qn")) / F.sqrt(
+        F.col("qn2").cast("double") * F.col("n2").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_exact").desc(), "neighbor_id"
+    )
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter((F.col("qn2") > 0) & (F.col("n2") > 0))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_exact"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_exact", 5).alias("cos"))
+    )
+
+
 def _word_jaccard_pairs(spark, sf_dir):  # n-gram (word-set) Jaccard near-dup
     """Exact word-set Jaccard over the SQL-visible candidate pairs (shared
     40-char prefix) — the n-gram-Jaccard dedup tier expressed entirely in
@@ -1341,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": _union_distinct,
         "anti_join": _anti_join,
         "knn_l2": _knn_l2,
+        "knn_cosine": _knn_cosine,
         "word_jaccard_pairs": _word_jaccard_pairs,
         "quality_score": _quality_score,
         "cosine_near_dup": _cosine_near_dup,
@@ -2055,5 +2107,37 @@ def oracle_sql() -> dict[str, str]:
                                 e.vec_id) AS rn
               FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
               WHERE q.vec_id < 5) WHERE rn <= 5
+        """,
+        "knn_cosine": """
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(floor(x * 1048576.0) AS BIGINT)
+                     ) AS q
+              FROM embeddings
+            ), m AS (
+              SELECT vec_id, q,
+                     list_sum(list_transform(list_zip(q, q), x -> x[1]*x[2]))
+                       AS n2
+              FROM n
+            )
+            SELECT query_id, neighbor_id, cos FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     ROUND(
+                       CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                                                    x -> x[1]*x[2])) AS DOUBLE)
+                       / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 5
+                     ) AS cos,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY
+                         CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                                                      x -> x[1]*x[2])) AS DOUBLE)
+                         / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                         DESC,
+                         b.vec_id) AS rn
+              FROM m a JOIN m b ON a.vec_id != b.vec_id
+              WHERE a.vec_id < 5 AND a.n2 > 0 AND b.n2 > 0
+            ) WHERE rn <= 5
         """,
     }
