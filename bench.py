@@ -51,6 +51,11 @@ def main() -> None:
     from bench_scaling import host_canary
 
     canary = host_canary()
+    # degraded-host thresholds are calibrated to THIS sandbox VM's
+    # known-good canary band; other hosts must override via env (the
+    # emitted JSON records the thresholds used so consumers can tell)
+    thr_matmul = float(os.environ.get("BENCH_MATMUL_DEGRADED_S", "0.6"))
+    thr_memcopy = float(os.environ.get("BENCH_MEMCOPY_DEGRADED_S", "3.5"))
 
     spark = build_session(app_name="dedup-bench", master=f"local[{args.cpus}]")
     timings: dict[str, float] = {}
@@ -129,8 +134,19 @@ def main() -> None:
                     "replicate": args.replicate,
                     "host_canary": canary,
                     "host_degraded": bool(
-                        canary["matmul_s"] > 0.6 or canary["memcopy_s"] > 3.5
+                        canary["matmul_s"] > thr_matmul
+                        or canary["memcopy_s"] > thr_memcopy
                     ),
+                    # the thresholds the flag was computed against — they are
+                    # per-host calibration (this sandbox VM's known-good band
+                    # is matmul ~0.34-0.45 s, memcopy ~1.7-2.0 s); on any
+                    # other host set BENCH_MATMUL_DEGRADED_S /
+                    # BENCH_MEMCOPY_DEGRADED_S or the flag is meaningless
+                    "host_degraded_thresholds": {
+                        "matmul_s": thr_matmul,
+                        "memcopy_s": thr_memcopy,
+                        "calibrated_host_only": True,
+                    },
                 }
             )
         )

@@ -31,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_MANIFEST.json"
 
 
+class LeaseHeldError(RuntimeError):
+    """Another live writer holds this warehouse's lease."""
+
+
 @dataclass
 class Warehouse:
     """A directory of stage tables for one dedup run."""
@@ -55,16 +59,125 @@ class Warehouse:
         return os.path.join(self.root, f"{table}.POINTER.json")
 
     def _read_pointer(self, table: str) -> Optional[str]:
+        p = self._read_pointer_meta(table)
+        return None if p is None else p["dir"]
+
+    def _read_pointer_meta(self, table: str) -> Optional[dict]:
         p = self._pointer_path(table)
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return json.load(f)["dir"]
+            return json.load(f)
+
+    # -- single-writer lease --------------------------------------------------
+    # The pointer-swap / delta-registry protocol assumes SERIAL writers
+    # (replace() GCs generations a concurrent rewrite could still be
+    # reading). The lease makes that assumption enforced instead of
+    # implicit: run / run_incremental / run_stream / compact acquire it for
+    # the duration. Host-local by design (pid liveness via kill(pid, 0)) —
+    # the sandbox-testable stand-in for the catalog-level lock an Iceberg
+    # deployment gets from atomic snapshot commits; same single seam as the
+    # rest of this module. Re-entrant within one process, so streaming's
+    # foreachBatch can call run/run_incremental under its own lease.
+    LEASE = "_LEASE.json"
+
+    def _lease_path(self) -> str:
+        return os.path.join(self.root, self.LEASE)
+
+    def acquire_lease(self) -> bool:
+        """Take the warehouse writer lease. Returns True if this call took
+        ownership (caller must release), False for a re-entrant acquire by
+        the pid that already owns it. Raises LeaseHeldError if a LIVE
+        other process holds it; a lease whose pid is dead (crashed writer)
+        is taken over atomically."""
+        import uuid as _uuid
+
+        os.makedirs(self.root, exist_ok=True)
+        path = self._lease_path()
+        token = _uuid.uuid4().hex
+        payload = json.dumps(
+            {"pid": os.getpid(), "run_id": self.run_id, "token": token,
+             "acquired_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        )
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return True
+        except FileExistsError:
+            pass
+        try:
+            with open(path) as f:
+                cur = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            cur = {}
+        pid = cur.get("pid")
+        if pid == os.getpid():
+            return False  # re-entrant: outer caller owns + releases
+        alive = False
+        if isinstance(pid, int):
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True  # pid exists under another uid
+        if alive:
+            raise LeaseHeldError(
+                f"warehouse {self.root} is locked by live pid {pid} "
+                f"(run_id {cur.get('run_id')!r}, since {cur.get('acquired_at')})"
+            )
+        # stale lease (crashed writer): take over atomically, then verify
+        # our token won (two concurrent takeovers race on the replace)
+        tmp = path + f".takeover.{token}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        with open(path) as f:
+            if json.load(f).get("token") != token:
+                raise LeaseHeldError(
+                    f"warehouse {self.root}: lost the stale-lease takeover race"
+                )
+        return True
+
+    def release_lease(self) -> None:
+        """Drop the lease iff this process still owns it (a takeover by
+        someone else after our crash-recovery window must not be deleted)."""
+        path = self._lease_path()
+        try:
+            with open(path) as f:
+                if json.load(f).get("pid") == os.getpid():
+                    os.remove(path)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            pass
+
+    def lease(self):
+        """Context manager: `with wh.lease(): ...` — re-entrant holder of
+        the single-writer lease."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            owned = self.acquire_lease()
+            try:
+                yield
+            finally:
+                if owned:
+                    self.release_lease()
+
+        return _cm()
 
     # -- commit protocol ----------------------------------------------------
     def is_complete(self, table: str) -> bool:
         m = self._read_manifest(table)
         return m is not None and m.get("config_hash") == self.config_hash
+
+    def manifest(self, table: str) -> Optional[dict]:
+        """Committed manifest of `table` (None if absent) — public accessor
+        for callers that need commit metadata such as the writing run_id
+        (dedup/streaming.py's bootstrap-replay detection)."""
+        return self._read_manifest(table)
 
     def _read_manifest(self, table: str) -> Optional[dict]:
         p = os.path.join(self.path(table), MANIFEST)
@@ -130,6 +243,7 @@ class Warehouse:
         df: DataFrame,
         table: str,
         partition_by: Optional[list[str]] = None,
+        includes: Optional[list[str]] = None,
     ) -> dict:
         """Atomically replace an already-committed table (the increment
         path rewrites the global clusters/canonical_pages views): write a
@@ -155,7 +269,16 @@ class Warehouse:
         manifest = self.write(df, gen, partition_by=partition_by)
         tmp = self._pointer_path(table) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"dir": gen, "run_id": self.run_id}, f)
+            # `includes`: delta tables FOLDED INTO this generation
+            # (compaction). Riding the pointer file makes fold + skip one
+            # atomic commit: active_deltas() subtracts this list, so a
+            # crash after the swap but before the registry GC can never
+            # double-count a folded delta (dedup/incremental.py::compact).
+            json.dump(
+                {"dir": gen, "run_id": self.run_id,
+                 "includes": sorted(includes or [])},
+                f,
+            )
         os.replace(tmp, self._pointer_path(table))
         # GC the superseded generation plus any orphans left by crashed
         # attempts (safe under the increment protocol's single-writer,
@@ -195,6 +318,15 @@ class Warehouse:
         with open(p) as f:
             return list(json.load(f).get(table, []))
 
+    def active_deltas(self, table: str) -> list[str]:
+        """Registered deltas NOT already folded into the table's current
+        generation (the pointer's `includes` list) — what a global view
+        must union on top of the base read. This is the read-side half of
+        compaction's atomicity: the pointer swap publishes the folded
+        generation AND retires its source deltas in one os.replace."""
+        folded = set((self._read_pointer_meta(table) or {}).get("includes", []))
+        return [d for d in self.registered_deltas(table) if d not in folded]
+
     def unregister_delta(self, table: str, delta_table: str) -> None:
         """Remove a delta from the registry AND delete its directory — the
         rollback half of the delta protocol (dedup/streaming.py rolls back
@@ -216,6 +348,33 @@ class Warehouse:
                     json.dump(reg, f, indent=1)
                 os.replace(tmp, p)
         shutil.rmtree(os.path.join(self.root, delta_table), ignore_errors=True)
+
+    # -- increment commit log -------------------------------------------------
+    INCREMENTS = "_INCREMENTS.json"
+
+    def mark_increment_committed(self, run_id: str) -> None:
+        """Record that increment `run_id` finished EVERY commit (deltas +
+        global rewrites). compact() folds only deltas of run_ids in this
+        log: a crashed attempt's partial deltas must stay rollback-able
+        (dedup/streaming.py replays them), never baked into the base."""
+        p = os.path.join(self.root, self.INCREMENTS)
+        done: list[str] = []
+        if os.path.exists(p):
+            with open(p) as f:
+                done = json.load(f)
+        if run_id not in done:
+            done.append(run_id)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(done, f, indent=1)
+        os.replace(tmp, p)
+
+    def committed_increments(self) -> list[str]:
+        p = os.path.join(self.root, self.INCREMENTS)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return list(json.load(f))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if not self.is_complete(table):

@@ -49,8 +49,35 @@ TABLES = (
 )
 
 
+#: Stable alias the oracle_sql() twins read through: `ensure_cache(sf_dir)`
+#: points it at the sf it just materialized, so the twin SQL strings stay
+#: correct at WHATEVER sf the driver runs (round-3 hardcoded sf0.01 here —
+#: ADVICE r3 #3's landmine: a driver correctness run at any other sf would
+#: have failed every materialized-reference twin spuriously). Every dedup_*/
+#: mplsh/ivf/semdedup/modality queries() entry calls ensure_cache(sf_dir)
+#: before the driver executes its twin, so the link is always fresh.
+CURRENT = os.path.join(CACHE_ROOT, "current")
+
+
 def cache_dir(sf_dir: str) -> str:
     return os.path.join(CACHE_ROOT, os.path.basename(sf_dir.rstrip("/")))
+
+
+def _point_current(d: str) -> None:
+    """Atomically (re)point the `current` symlink at cache dir `d`
+    (symlink at a temp name, then os.replace — readers never see a
+    missing or half-written link)."""
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    rel = os.path.basename(d.rstrip("/"))
+    if os.path.islink(CURRENT) and os.readlink(CURRENT) == rel:
+        return
+    tmp = CURRENT + ".tmp"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(rel, tmp)
+    os.replace(tmp, CURRENT)
 
 
 def _kernel_hash() -> str:
@@ -192,6 +219,7 @@ def ensure_cache(sf_dir: str, cfg=None) -> str:
                     m.get("config_hash") == cfg.config_hash()
                     and m.get("kernel_hash") == khash
                 ):
+                    _point_current(d)
                     return d
         except (json.JSONDecodeError, OSError):
             pass  # corrupt marker -> rebuild
@@ -226,4 +254,5 @@ def ensure_cache(sf_dir: str, cfg=None) -> str:
             f,
         )
     os.replace(tmp, marker_path)
+    _point_current(d)
     return d

@@ -52,17 +52,100 @@ BASE_TABLES = ("pages", "signatures", "buckets", "verified_pairs", "clusters")
 
 def _with_deltas(spark: SparkSession, wh: Warehouse, table: str) -> DataFrame:
     """The current global view of `table`: the base run's table UNION every
-    committed `<table>_delta_*` from prior increments — so increments
-    chain (increment N sees the state produced by increments 1..N-1).
-    Discovery reads the warehouse's delta registry written at commit time
-    (catalog.register_delta), never a directory listing — a stray
-    directory can't be picked up, and an unregistered (crashed) delta is
-    invisible, matching the all-or-nothing commit semantics."""
+    ACTIVE committed `<table>_delta_*` from prior increments — so
+    increments chain (increment N sees the state produced by increments
+    1..N-1). Discovery reads the warehouse's delta registry written at
+    commit time (catalog.register_delta), never a directory listing — a
+    stray directory can't be picked up, and an unregistered (crashed)
+    delta is invisible, matching the all-or-nothing commit semantics.
+    Deltas folded into the current base generation by compact() are
+    subtracted via the pointer's `includes` list (catalog.active_deltas),
+    so the view stays exact across the compaction commit no matter where
+    a crash lands."""
     df = wh.read(spark, table)
-    for name in wh.registered_deltas(table):
+    for name in wh.active_deltas(table):
         if wh.is_complete(name):
             df = df.unionByName(wh.read(spark, name))
     return df
+
+
+def compact(
+    spark: SparkSession,
+    cfg: DedupConfig,
+    warehouse_root: str,
+    run_id: str | None = None,
+) -> dict[str, list[str]]:
+    """Fold every committed delta into a fresh base generation, table by
+    table, so global-view reads stop degrading linearly with increment
+    history (VERDICT r3 "next round" #1: after N daily batches or
+    streaming micro-batches, every `_with_deltas` read was an N-way union
+    — N file listings, N scan nodes).
+
+    Commit protocol, per table (crash-safe at every boundary):
+      1. write the folded view as a fresh generation directory and swap
+         the table pointer to it via catalog.replace — with the folded
+         delta names riding the pointer as `includes`. The swap is ONE
+         os.replace, so fold + retire is atomic: before it, readers see
+         base ∪ deltas; after it, the folded generation with those deltas
+         subtracted by active_deltas(). No window double-counts or loses
+         a delta.
+      2. GC: unregister (and delete) each folded delta. Pure cleanup —
+         a crash mid-GC leaves some deltas registered-but-included, which
+         active_deltas() already skips; the next compact() carries them
+         in its own `includes` until the GC completes.
+
+    Tables are independent views, so a crash between two tables' swaps
+    leaves a mix of compacted and chained tables — each still exact.
+    Returns {table: [folded delta names]}. Holds the single-writer lease
+    (serial with increments/streaming, like every warehouse writer)."""
+    import uuid as _uuid
+
+    wh = Warehouse(
+        root=warehouse_root,
+        config_hash=cfg.config_hash(),
+        run_id=run_id or f"compact{_uuid.uuid4().hex[:8]}",
+    )
+    folded: dict[str, list[str]] = {}
+    with wh.lease():
+        for table in ("pages", "signatures", "buckets", "verified_pairs"):
+            # finish any crashed prior compaction's GC FIRST: a delta both
+            # registered and included was already folded into the live
+            # generation — retire it before this compaction swaps in a new
+            # pointer whose `includes` would no longer list it (leaving it
+            # registered past that swap would double-count it).
+            included = set(
+                (wh._read_pointer_meta(table) or {}).get("includes", [])
+            )
+            for d in wh.registered_deltas(table):
+                if d in included:
+                    wh.unregister_delta(table, d)
+            # fold ONLY deltas of increments that committed end-to-end
+            # (catalog increment log): a crashed attempt's partial deltas
+            # must stay visible to rollback_increment for the replay —
+            # folding them would bake partial state into the base and make
+            # the rerun's url-overlap guard reject its own batch
+            done = set(wh.committed_increments())
+            deltas = [
+                d
+                for d in wh.active_deltas(table)
+                if wh.is_complete(d)
+                and d.removeprefix(f"{table}_delta_") in done
+            ]
+            if not deltas:
+                continue
+            view = wh.read(spark, table)
+            for d in deltas:
+                view = view.unionByName(wh.read(spark, d))
+            wh.replace(
+                view,
+                table,
+                partition_by=(["warc_day"] if "warc_day" in view.columns else None),
+                includes=deltas,
+            )
+            for d in deltas:
+                wh.unregister_delta(table, d)
+            folded[table] = deltas
+    return folded
 
 
 def run_incremental(
@@ -75,7 +158,9 @@ def run_incremental(
     """Dedupe `new_pages` against the completed base run in
     `warehouse_root`. Returns the updated global views plus the deltas;
     commits delta tables and rewrites the global clusters/canonical
-    tables in the warehouse."""
+    tables in the warehouse. Holds the single-writer lease for the
+    duration (the pointer-swap/registry protocol is serial-writer by
+    design; a second concurrent writer fails fast with LeaseHeldError)."""
     import re
 
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -89,6 +174,16 @@ def run_incremental(
     wh = Warehouse(
         root=warehouse_root, config_hash=cfg.config_hash(), run_id=run_id
     )
+    with wh.lease():
+        return _run_incremental_locked(spark, new_pages, cfg, wh)
+
+
+def _run_incremental_locked(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    cfg: DedupConfig,
+    wh: Warehouse,
+) -> dict[str, DataFrame]:
     missing = [t for t in BASE_TABLES if not wh.is_complete(t)]
     if missing:
         raise ValueError(
@@ -178,6 +273,10 @@ def run_incremental(
         ),
     )
 
+    # last commit of the increment: mark it end-to-end complete so
+    # compact() may fold its deltas (a crash before this line leaves the
+    # attempt rollback-able and never compactable — by design)
+    wh.mark_increment_committed(wh.run_id)
     return {
         "signatures_delta": sig_new,
         "buckets_delta": buckets_new,

@@ -136,12 +136,27 @@ def run(
 
     pages: DataFrame with the mandated shape (url, warc_ts, html, text,
     lang). stop_after: stage name to halt after (kill/resume tests).
+    Holds the warehouse's single-writer lease for the duration
+    (re-entrant, so streaming's foreachBatch can call this under its own
+    lease; a concurrent second writer fails fast with LeaseHeldError).
     """
     wh = Warehouse(
         root=warehouse_root,
         config_hash=cfg.config_hash(),
         run_id=run_id or uuid.uuid4().hex[:12],
     )
+    with wh.lease():
+        return _run_locked(spark, pages, cfg, wh, resume, stop_after)
+
+
+def _run_locked(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig,
+    wh: Warehouse,
+    resume: bool,
+    stop_after: str | None,
+) -> RunResult:
     if not resume and wh.is_complete("pages"):
         # Callers (jobs/run_dedup.py, bench.py) pass `pages` read from this
         # warehouse's own pages table; resume=False would overwrite the path
@@ -149,7 +164,7 @@ def run(
         # needs a fresh warehouse root.
         raise ValueError(
             f"resume=False on a warehouse that already has a committed pages "
-            f"table ({warehouse_root}); use a fresh warehouse root"
+            f"table ({wh.root}); use a fresh warehouse root"
         )
     res = RunResult(warehouse=wh)
 

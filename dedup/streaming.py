@@ -61,6 +61,10 @@ def _marker_path(warehouse_root: str, batch_id: int) -> str:
 
 
 def _mark_done(warehouse_root: str, batch_id: int) -> None:
+    # an EMPTY first micro-batch writes its marker before any stage has
+    # created the warehouse root (Warehouse is a plain dataclass and does
+    # no makedirs) — create it here so the marker write cannot fail
+    os.makedirs(warehouse_root, exist_ok=True)
     p = _marker_path(warehouse_root, batch_id)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
@@ -134,9 +138,26 @@ def run_stream(
             _mark_done(warehouse_root, batch_id)
             result.processed.append(batch_id)
             return
-        if bootstrap and not wh.is_complete("pages"):
-            # first batch against an empty warehouse: run the full pipeline
-            # as the base run (its own resume machinery makes replay safe)
+        # Bootstrap detection must survive a crashed bootstrap's replay:
+        # pipeline.run commits `pages` FIRST, so gating on is_complete
+        # ("pages") alone would route the replay of a bootstrap that died
+        # mid-pipeline to run_incremental, which (correctly) refuses to run
+        # without a completed base — wedging the stream. A batch is the
+        # bootstrap iff (a) the base run is not complete yet, or (b) it IS
+        # complete and the pages manifest carries THIS batch's run_id —
+        # i.e. this very batch was the bootstrap and crashed after
+        # finishing but before its done marker landed. Either way
+        # pipeline.run's stage-resume machinery skips committed stages and
+        # finishes the rest (possibly a no-op), exactly as the module
+        # docstring promises.
+        from .incremental import BASE_TABLES
+
+        base_complete = all(wh.is_complete(t) for t in BASE_TABLES)
+        pages_man = wh.manifest("pages")
+        own_bootstrap = (
+            pages_man is not None and pages_man.get("run_id") == run_id
+        )
+        if bootstrap and (not base_complete or own_bootstrap):
             run_pipeline(spark, batch_df, cfg, warehouse_root, run_id=run_id)
             result.bootstrapped = True
         else:
@@ -153,11 +174,18 @@ def run_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    # hold the warehouse's single-writer lease for the whole query: the
+    # per-batch run/run_incremental calls re-acquire re-entrantly (same
+    # pid), while a concurrent second stream/batch writer fails fast
+    lease_wh = Warehouse(
+        root=warehouse_root, config_hash=cfg.config_hash(), run_id="stream"
     )
-    q.awaitTermination()
+    with lease_wh.lease():
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return result

@@ -146,6 +146,26 @@ def test_ann_hyperplane_recall(spark):
     assert n_results <= n * 5
 
 
+def test_ann_codes_arrow_matches_jvm(spark):
+    """The shared Arrow code kernel behind ann_hyperplane must be
+    bit-identical to the JVM literal-fold reference — codes AND the
+    fixed-point vectors the exact re-rank consumes — at both the fixture
+    width (4 bits) and the production width (12 bits)."""
+    import __spark_entry__ as e
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for n_bits in (4, 12):
+        jvm = {
+            r["vec_id"]: (tuple(r["q"]), r["code"])
+            for r in e._ann_codes_jvm(emb, n_bits).collect()
+        }
+        arrow = {
+            r["vec_id"]: (tuple(r["q"]), r["code"])
+            for r in e._ann_codes_arrow(emb, n_bits).collect()
+        }
+        assert arrow == jvm and len(arrow) == emb.count(), n_bits
+
+
 def test_cos_codes_arrow_matches_jvm(spark):
     """The vectorized Arrow code kernel must be bit-identical to the
     JVM literal-fold reference on the real fixture embeddings — the

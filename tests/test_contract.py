@@ -71,6 +71,73 @@ def test_rows_only_query(spark, name):
     assert len(df.schema.fields) >= 2
 
 
+def test_suffix_sampled_finds_planted_spans(spark):
+    """The sampled (rate=4) suffix pass must still report every planted
+    >=50-char duplicate span: content-hash anchor selection keeps the
+    SAME anchors in both docs sharing a span, so a span with ~10 shared
+    word-start anchors deterministically survives 1/4 sampling here."""
+    span1 = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa"
+    )
+    span2 = (
+        "quebec romeo sierra tango uniform victor whiskey xray yankee "
+        "zulu one two three four five six"
+    )
+    docs = [
+        (0, "zzz aaa " + span1 + " bbb"),
+        (1, span1 + " ccc ddd eee"),
+        (2, "fff " + span2),
+        (3, span2 + " ggg"),
+        (4, "unrelated words only nothing shared here at all really truly"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in entry_mod._suffix_dup_spans_over(df, rate=4).collect()
+    }
+    assert (0, 1) in got and (2, 3) in got
+    assert not any(4 in p for p in got)
+    # the sampled pass reports a SUBSET of the exact pass's anchors
+    exact = {
+        (r["doc_a"], r["doc_b"], r["n_shared_anchors"])
+        for r in entry_mod._suffix_dup_spans_over(df, rate=1).collect()
+    }
+    exact_pairs = {(a, b): n for a, b, n in exact}
+    sampled = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_anchors"]
+        for r in entry_mod._suffix_dup_spans_over(df, rate=4).collect()
+    }
+    for pair, n in sampled.items():
+        assert pair in exact_pairs and n <= exact_pairs[pair]
+
+
+def test_bpe_merge_step_merges_planted_pair(spark):
+    """One BPE merge round on a hand-built corpus: 'th' is the weighted
+    most-frequent adjacent pair and every vocab word containing it gets
+    its symbols joined; merges apply left-to-right non-overlapping
+    ('aaaa' stays unmerged here, but pins the pair-per-position count)."""
+    df = spark.createDataFrame([("the the the thin aaaa",)], "text string")
+    rows = {r["word"]: r.asDict() for r in entry_mod._bpe_merge_over(df).collect()}
+    assert set(rows) == {"the", "thin", "aaaa"}
+    assert all(r["merged_pair"] == "th" for r in rows.values())
+    assert rows["the"]["pair_occ"] == 4  # 3x 'the' + 1x 'thin'
+    assert rows["the"]["symbols"] == "th e"
+    assert rows["thin"]["symbols"] == "th i n"
+    assert rows["aaaa"]["symbols"] == "a a a a"
+    assert rows["the"]["rank"] == 1 and rows["the"]["n"] == 3
+
+
+def test_bpe_merge_is_left_to_right_nonoverlapping(spark):
+    """The greedy merge semantics BPE trainers use: 'a a a a' with winning
+    pair 'aa' becomes 'aa aa', never 'aa a a' or an overlapped form."""
+    df = spark.createDataFrame([("aaaa aaaa ab",)], "text string")
+    rows = {r["word"]: r.asDict() for r in entry_mod._bpe_merge_over(df).collect()}
+    assert rows["aaaa"]["merged_pair"] == "aa"  # 3 positions x 2 words = 6
+    assert rows["aaaa"]["pair_occ"] == 6
+    assert rows["aaaa"]["symbols"] == "aa aa"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

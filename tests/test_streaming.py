@@ -195,6 +195,77 @@ def test_rollback_removes_registered_and_unregistered_deltas(
     assert not os.path.exists(os.path.join(wh_root, "signatures_delta_s7"))
 
 
+def test_stream_resumes_crashed_bootstrap(
+    spark, batches, full_run_clusters, tmp_path_factory
+):
+    """A bootstrap that crashed MID-pipeline (pages committed, later stages
+    not) must be recognized as a bootstrap on replay — not routed to
+    run_incremental, which would refuse (no completed base) and wedge the
+    stream permanently (ADVICE r3, medium)."""
+    source = str(tmp_path_factory.mktemp("stream_src_boot"))
+    wh_root = str(tmp_path_factory.mktemp("wh_stream_boot"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt_boot"))
+    for i, pdf in enumerate(batches):
+        p = _write_batch_file(spark, pdf, source, f"batch_{i}")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # forge the crashed bootstrap: stream batch 0 (run_id "s0") committed
+    # pages + signatures + buckets, then died — no done marker
+    boot_df = spark.createDataFrame(batches[0], schema=pages_schema())
+    run(spark, boot_df, DEFAULT, wh_root, run_id="s0", stop_after="buckets")
+
+    result = run_stream(spark, source, DEFAULT, wh_root, ckpt)
+    assert result.bootstrapped
+    assert result.processed == [0, 1, 2]
+    got = _clusters_pd(spark, wh_root)
+    assert got["url"].tolist() == full_run_clusters["url"].tolist()
+    assert got["cluster_id"].tolist() == full_run_clusters["cluster_id"].tolist()
+
+
+def test_stream_completed_unmarked_bootstrap_replays_as_noop(
+    spark, batches, tmp_path_factory
+):
+    """The other bootstrap crash window: the pipeline finished EVERY stage
+    but died before the done marker landed. The replay must recognize the
+    batch as its own bootstrap (pages manifest run_id == s<batch_id>),
+    resume pipeline.run (all stages skip), and write the marker — not call
+    run_incremental, whose url-overlap guard would raise."""
+    source = str(tmp_path_factory.mktemp("stream_src_boot2"))
+    wh_root = str(tmp_path_factory.mktemp("wh_stream_boot2"))
+    ckpt1 = str(tmp_path_factory.mktemp("stream_ckpt_boot2a"))
+    ckpt2 = str(tmp_path_factory.mktemp("stream_ckpt_boot2b"))
+    _write_batch_file(spark, batches[0], source, "batch_0")
+
+    first = run_stream(spark, source, DEFAULT, wh_root, ckpt1)
+    assert first.bootstrapped and first.processed == [0]
+    before = _clusters_pd(spark, wh_root)
+    # forge the crash: everything committed, marker never landed
+    os.remove(os.path.join(wh_root, "_STREAM_BATCH_0.done"))
+
+    replay = run_stream(spark, source, DEFAULT, wh_root, ckpt2)
+    assert replay.bootstrapped and replay.processed == [0]
+    assert os.path.exists(os.path.join(wh_root, "_STREAM_BATCH_0.done"))
+    after = _clusters_pd(spark, wh_root)
+    assert after["cluster_id"].tolist() == before["cluster_id"].tolist()
+
+
+def test_stream_empty_first_batch_creates_warehouse_root(
+    spark, batches, tmp_path_factory
+):
+    """An empty first micro-batch must not crash on a warehouse root that
+    no stage has created yet (ADVICE r3, low: _mark_done wrote into a
+    nonexistent directory)."""
+    source = str(tmp_path_factory.mktemp("stream_src_empty"))
+    root = tmp_path_factory.mktemp("wh_stream_empty_parent")
+    wh_root = os.path.join(str(root), "nested", "wh")  # does not exist
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt_empty"))
+    _write_batch_file(spark, batches[0].head(0), source, "batch_0")
+
+    result = run_stream(spark, source, DEFAULT, wh_root, ckpt)
+    assert result.processed == [0] and not result.bootstrapped
+    assert os.path.exists(os.path.join(wh_root, "_STREAM_BATCH_0.done"))
+
+
 def test_stream_replay_after_crash_past_pointer_swap(
     spark, batches, full_run_clusters, tmp_path_factory
 ):
