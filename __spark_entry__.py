@@ -1237,6 +1237,93 @@ def _bpe_merge_step(spark, sf_dir):
     return _bpe_merge_over(_t(spark, sf_dir, "documents"))
 
 
+def _bpe_train_over(spark, d: DataFrame, n_merges: int) -> DataFrame:
+    """Full BPE trainer: n_merges rounds of the merge step, returning the
+    learned merge table (step, left, right, merged, n_occ) — the MODEL a
+    tokenizer ships. Exactly reproduces the single-process reference
+    trainer (dedup/contract_oracle.py::_bpe_reference_frame): integer
+    counts, max-count pair with lexicographic (left, right) tie-break,
+    greedy left-to-right merge application.
+
+    Scale shape (the k-means/IVF pattern — distributed statistics,
+    bounded driver-side model): training state is the DISTINCT-word
+    dictionary with its symbol sequences (vocab-bounded, ~10^7 rows at
+    crawl scale — never the token stream, which aggregates ONCE into the
+    dictionary up front). Per round: one explode of adjacent symbol pairs
+    into a map-side-combined agg (shuffle is pair-vocabulary-sized), a
+    TakeOrdered(1) argmax collected to the driver (one row — the model
+    update), and a pure-map merge fold over the symbol arrays. The fold
+    is TOKEN-AWARE (compares whole array elements), so multi-character
+    symbols can never be merged across symbol boundaries the way a
+    string replace() would; localCheckpoint each round cuts the iterative
+    lineage exactly like the CC loop."""
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = wc.select("n", F.split("word", "").alias("syms")).localCheckpoint()
+    merges = []
+    for step in range(1, n_merges + 1):
+        # fully-merged words (1 symbol) have no pairs — and must be
+        # filtered BEFORE the explode: Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0], whose element_at(syms, 2) errors under ANSI
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms)-1),"
+                    " i -> struct(element_at(syms, i) AS l,"
+                    "             element_at(syms, i+1) AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").cast("long").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n_occ = best[0]["l"], best[0]["r"], int(best[0]["n_occ"])
+        merges.append((step, a, b, a + b, n_occ))
+        # greedy left-to-right merge as an array fold: merge iff the
+        # accumulator's LAST symbol is `a` and the incoming one is `b`
+        # (symbols are [a-z]+ so inlining them as literals is safe)
+        vocab = vocab.select(
+            "n",
+            F.expr(
+                f"""aggregate(
+                  syms, cast(array() as array<string>),
+                  (acc, x) -> CASE
+                    WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}'
+                         AND x = '{b}'
+                    THEN concat(slice(acc, 1, size(acc) - 1), array('{a + b}'))
+                    ELSE concat(acc, array(x)) END
+                )"""
+            ).alias("syms"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, n_occ long"
+    )
+
+
+def _bpe_train(spark, sf_dir):
+    """Multi-round BPE training contract query (the full trainer above
+    bpe_merge_step); twinned against the materialized single-process
+    reference trainer's merge table."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import BPE_TRAIN_MERGES, ensure_cache
+
+    ensure_cache(sf_dir, DEFAULT)  # materialize the twin's reference table
+    return _bpe_train_over(
+        spark, _t(spark, sf_dir, "documents"), BPE_TRAIN_MERGES
+    )
+
+
 #: language -> characteristic character n-gram markers (mostly trigrams:
 #: function-word boundaries, affixes, diacritics, common hanzi) for the
 #: count-argmax classifier — the langid F-row at trigram granularity
@@ -1570,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_stats": _source_quality_stats,
         "vocab_topk": _vocab_topk,
         "bpe_merge_step": _bpe_merge_step,
+        "bpe_train": _bpe_train,  # twinned vs single-process reference trainer
         "unigram_rarity": _unigram_rarity,
         "token_stats": _token_stats,
         # multimodal plumbing
@@ -1944,6 +2032,10 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_keep": f"""
             SELECT vec_id, cid, keep
             FROM read_parquet('{_cache01}/semdedup.parquet')
+        """,
+        "bpe_train": f"""
+            SELECT step, "left", "right", merged, n_occ
+            FROM read_parquet('{_cache01}/bpe_merges.parquet')
         """,
         "ann_hyperplane": _ann_twin_sql(),
         "langid_score": _langid_twin_sql(),

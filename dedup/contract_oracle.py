@@ -45,8 +45,12 @@ MARKER = "_COMPLETE.json"
 TABLES = (
     "pages", "signatures", "buckets", "candidates", "verified", "clusters",
     "mplsh_topk", "modality_features", "ivf_topk", "semdedup",
-    "modality_thumbs", "modality_frames",
+    "modality_thumbs", "modality_frames", "bpe_merges",
 )
+
+#: merge rounds for the bpe_train contract query — shared by the Spark
+#: trainer (__spark_entry__._bpe_train_over) and the reference below
+BPE_TRAIN_MERGES = 8
 
 
 #: Stable alias the oracle_sql() twins read through: `ensure_cache(sf_dir)`
@@ -200,6 +204,54 @@ def _modality_frames_reference_frame(pages):
     return pd.DataFrame(rows, columns=FRAME_SAMPLE_COLUMNS)
 
 
+def _bpe_reference_frame(sf_dir: str):
+    """Single-process reference BPE trainer (Sennrich et al. 2016) for the
+    `bpe_train` contract query: word-frequency dictionary over the
+    documents fixture ([a-z]+ words of length >= 2, the rule the Spark
+    side mirrors), then BPE_TRAIN_MERGES rounds of (count adjacent symbol
+    pairs weighted by word frequency; merge the max-count pair, ties by
+    lexicographic (left, right); apply greedily left-to-right). The Spark
+    trainer must reproduce this table exactly — same integer counts, same
+    tie-breaks, same greedy merge semantics."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    wc: Counter = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if len(w) >= 2 and re.fullmatch("[a-z]+", w):
+                wc[w] += 1
+    syms = {w: list(w) for w in wc}
+    rows = []
+    for step in range(1, BPE_TRAIN_MERGES + 1):
+        pc: Counter = Counter()
+        for w, n in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), n_occ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append(
+            {"step": step, "left": a, "right": b,
+             "merged": a + b, "n_occ": n_occ}
+        )
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return pd.DataFrame(
+        rows, columns=["step", "left", "right", "merged", "n_occ"]
+    )
+
+
 def ensure_cache(sf_dir: str, cfg=None) -> str:
     """Run the NumPy oracle on the corpus synthesized from sf_dir (if not
     already cached for this config + kernel version) and return the cache
@@ -243,6 +295,7 @@ def ensure_cache(sf_dir: str, cfg=None) -> str:
         "semdedup": _semdedup_reference_frame(sf_dir),
         "modality_thumbs": _modality_thumbs_reference_frame(corpus.pages),
         "modality_frames": _modality_frames_reference_frame(corpus.pages),
+        "bpe_merges": _bpe_reference_frame(sf_dir),
     }
     for name, df in frames.items():
         df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)

@@ -101,6 +101,7 @@ class StreamResult:
     processed: list[int] = field(default_factory=list)  # ran this call
     skipped: list[int] = field(default_factory=list)  # marker already done
     rolled_back: list[int] = field(default_factory=list)  # partial state removed
+    compacted: list[int] = field(default_factory=list)  # batch triggered compact
     bootstrapped: bool = False  # batch ran pipeline.run as the base
 
 
@@ -112,6 +113,7 @@ def run_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     bootstrap: bool = True,
+    compact_every: int | None = None,
 ) -> StreamResult:
     """Fold every parquet file currently in `source_dir` (pages schema:
     url, warc_ts, html, text, lang) into the dedup warehouse as a sequence
@@ -119,8 +121,15 @@ def run_stream(
     (Trigger.AvailableNow — a deployment runs the same query with a
     processing-time trigger and it never stops). Returns a StreamResult;
     the warehouse's clusters/canonical_pages tables are the live output
-    after every batch."""
-    from .incremental import run_incremental
+    after every batch.
+
+    compact_every=N bounds read-side delta-chain growth for long-lived
+    streams: after any batch's done marker lands, if the warehouse holds
+    >= N active pages deltas, incremental.compact() folds every committed
+    delta into a fresh base generation (under this stream's lease,
+    re-entrantly). The trigger reads the WAREHOUSE state, not a counter,
+    so a compaction skipped by a crash simply fires after the next batch."""
+    from .incremental import compact, run_incremental
     from .pipeline import run as run_pipeline
     from .synth import pages_schema
 
@@ -168,6 +177,12 @@ def run_stream(
             )
         _mark_done(warehouse_root, batch_id)
         result.processed.append(batch_id)
+        if (
+            compact_every is not None
+            and len(wh.active_deltas("pages")) >= compact_every
+        ):
+            compact(spark, cfg, warehouse_root, run_id=f"c{batch_id}")
+            result.compacted.append(batch_id)
 
     stream = (
         spark.readStream.schema(pages_schema())

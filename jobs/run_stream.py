@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--parallelism", type=int, default=None, help="local[N] when no cluster master")
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
+    ap.add_argument(
+        "--compact-every", type=int, default=None,
+        help="fold committed deltas into a fresh base generation whenever "
+        "the warehouse holds >= N active pages deltas (bounds read-side "
+        "delta-chain growth for long-lived streams)",
+    )
     ap.add_argument("--config", default="default", choices=["default", "banding16"])
     args = ap.parse_args()
 
@@ -51,6 +57,7 @@ def main() -> None:
             args.warehouse,
             args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
+            compact_every=args.compact_every,
         )
         wall = time.monotonic() - t0
         wh = Warehouse(args.warehouse, cfg.config_hash(), "read")
@@ -64,6 +71,7 @@ def main() -> None:
                     "batches_processed": result.processed,
                     "batches_skipped": result.skipped,
                     "batches_rolled_back": result.rolled_back,
+                    "batches_compacted": result.compacted,
                     "bootstrapped": result.bootstrapped,
                     "urls": n_urls,
                     "clusters": n_clusters,

@@ -233,6 +233,42 @@ def test_stream_continues_exactly_after_compaction(
     assert got["cluster_id"].tolist() == full_clusters["cluster_id"].tolist()
 
 
+def test_stream_auto_compaction(spark, splits, full_clusters, tmp_path_factory):
+    """compact_every=N inside the stream: the warehouse compacts itself
+    whenever N active pages deltas accumulate, under the stream's own
+    lease, without changing the end state. With three batches (bootstrap
+    + 2 increments) and compact_every=2, the second increment triggers
+    one compaction and leaves zero active deltas."""
+    from dedup.streaming import run_stream
+
+    source = str(tmp_path_factory.mktemp("auto_cmp_src"))
+    wh_root = str(tmp_path_factory.mktemp("wh_auto_cmp"))
+    ckpt = str(tmp_path_factory.mktemp("auto_cmp_ckpt"))
+    for i, pdf in enumerate(splits):
+        tmp = os.path.join(source, f"_tmp_{i}")
+        df = spark.createDataFrame(pdf, schema=pages_schema())
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(source, f"batch_{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    result = run_stream(
+        spark, source, DEFAULT, wh_root, ckpt, compact_every=2
+    )
+    assert result.processed == [0, 1, 2]
+    assert result.compacted == [2]  # batch 1 left 1 active delta, batch 2 -> 2
+    wh = _wh(wh_root)
+    for t in DELTA_TABLES:
+        assert wh.active_deltas(t) == []
+    got = (
+        wh.read(spark, "clusters").toPandas().sort_values("url", ignore_index=True)
+    )
+    assert got["url"].tolist() == full_clusters["url"].tolist()
+    assert got["cluster_id"].tolist() == full_clusters["cluster_id"].tolist()
+
+
 # -- single-writer lease -------------------------------------------------
 
 

@@ -138,6 +138,42 @@ def test_bpe_merge_is_left_to_right_nonoverlapping(spark):
     assert rows["aaaa"]["symbols"] == "aa aa"
 
 
+def test_bpe_train_learns_planted_merges(spark):
+    """Multi-round trainer on a hand-computed corpus: with 'low' x5 and
+    'lowest' x2, the pair (l,o) dominates round 1 (7), (lo,w) round 2
+    (7), then (low,e) vs... 'lowest' contributes (low,e),(e,s),(s,t) x2
+    and nothing else remains above 2 — ties resolve lexicographically,
+    so round 3 merges (e,s), round 4 (es,t), round 5 (low,est)."""
+    text = " ".join(["low"] * 5 + ["lowest"] * 2)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["n_occ"])
+        for r in entry_mod._bpe_train_over(spark, df, 5).collect()
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 7),
+        (2, "lo", "w", "low", 7),
+        (3, "e", "s", "es", 2),
+        (4, "es", "t", "est", 2),
+        (5, "low", "est", "lowest", 2),
+    ]
+
+
+def test_bpe_train_token_aware_merge(spark):
+    """The merge fold compares whole symbols, never substrings: after
+    (a,b)->ab, a later (b,c) merge must NOT fire inside 'ab c' the way a
+    string replace on the spaced form would. Corpus: 'abc' x3, 'bc' x2 —
+    round 1 merges (b,c) 5x? no: pairs are (a,b)x3,(b,c)x5 -> (b,c) wins;
+    round 2 (a,bc)x3."""
+    text = " ".join(["abc"] * 3 + ["bc"] * 2)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["n_occ"])
+        for r in entry_mod._bpe_train_over(spark, df, 2).collect()
+    ]
+    assert got == [(1, "b", "c", 5), (2, "a", "bc", 3)]
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
