@@ -105,9 +105,21 @@ def compact(
         config_hash=cfg.config_hash(),
         run_id=run_id or f"compact{_uuid.uuid4().hex[:8]}",
     )
+    import os
+    import shutil
+
     folded: dict[str, list[str]] = {}
     with wh.lease():
         for table in ("pages", "signatures", "buckets", "verified_pairs"):
+            # GC the superseded PLAIN base directory: once the pointer
+            # references a generation, the base run's original table is
+            # dead storage (readers resolve the pointer) — at 10^12 docs
+            # leaving the old pages snapshot behind doubles the footprint.
+            # Idempotent, so a crash here just re-runs next compact.
+            if wh._read_pointer(table) is not None:
+                plain = os.path.join(wh.root, table)
+                if os.path.isdir(plain):
+                    shutil.rmtree(plain, ignore_errors=True)
             # finish any crashed prior compaction's GC FIRST: a delta both
             # registered and included was already folded into the live
             # generation — retire it before this compaction swaps in a new
@@ -144,6 +156,12 @@ def compact(
             )
             for d in deltas:
                 wh.unregister_delta(table, d)
+            # this fold created the table's first generation? the plain
+            # base directory is superseded as of the swap — GC it now
+            # (the loop-top GC covers a crash landing in between)
+            plain = os.path.join(wh.root, table)
+            if os.path.isdir(plain):
+                shutil.rmtree(plain, ignore_errors=True)
             folded[table] = deltas
     return folded
 

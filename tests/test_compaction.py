@@ -100,6 +100,10 @@ def test_compaction_folds_all_committed_deltas(compacted_env):
         assert wh.registered_deltas(t) == []
         # the folded delta directories are gone
         assert not glob.glob(os.path.join(wh_root, f"{t}_delta_*"))
+        # ...and so is the superseded plain base directory (at 10^12 docs
+        # the old pages snapshot would otherwise double the footprint)
+        assert not os.path.isdir(os.path.join(wh_root, t))
+        assert wh._read_pointer(t) is not None
 
 
 def test_compaction_preserves_global_views(spark, compacted_env):
