@@ -1102,6 +1102,146 @@ def _shard_assign(spark, sf_dir):
     )
 
 
+def _pack_chunks(spark, sf_dir):
+    """Sequence-packing layout — the write-side operator that turns a
+    filtered corpus into fixed-length training sequences: docs are
+    concatenated per output shard in deterministic order and cut every
+    L=2048 tokens; the output gives each doc its shard, token offset,
+    and the first/last training-chunk index it lands in (a doc straddles
+    a boundary when first_chunk < last_chunk — the standard pack-then-
+    chunk scheme, not padding).
+
+    Scale shape: ONE hash-shuffle by shard, then a running token sum as
+    a window WITHIN each shard (ROWS frame over the unique doc_id order
+    — no global sort, no driver state). Shard count scales with the
+    corpus (16 here; ~10^5 at 100 TB so each shard holds a bounded ~GB
+    of tokens per writer task), so the per-partition window never grows
+    with total corpus size. All arithmetic is integer (`div`), exact in
+    both engines."""
+    d = _t(spark, sf_dir, "documents")
+    shard = ((F.col("doc_id") % F.lit(1048573)) * F.lit(2654435761)) % F.lit(16)
+    base = d.select(
+        "doc_id",
+        shard.cast("long").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_tok"),
+    )
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_tok",
+        F.expr("start_tok div 2048").alias("first_chunk"),
+        F.expr("(start_tok + n_tokens - 1) div 2048").alias("last_chunk"),
+    )
+
+
+def _token_budget_mix(spark, sf_dir):
+    """Data-mixture sampling under per-source token budgets — the
+    operator that enforces source mixing weights (e.g. "at most N
+    tokens of domain X per epoch"): docs are admitted in deterministic
+    multiplicative-hash order until their source's running token count
+    crosses the budget (1280 here — between the fixture sources' min and
+    max totals, so both fully-kept and truncated sources occur). Because per-doc token counts are
+    >= 1, the admitted set is exactly the maximal hash-order prefix
+    whose predecessors fit — reproducible across runs, resumes, and
+    engines (no random()).
+
+    Scale shape: one shuffle keyed by source, then a ROWS-frame running
+    sum within each source ordered by (hash, doc_id). Source keys are
+    crawl domains (~10^8 at scale) so partitions stay bounded; a
+    mega-domain is exactly the case the budget truncates, and a
+    map-side pre-filter on partition-local prefix sums can discard its
+    overflow before the shuffle without changing the answer."""
+    d = _t(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % F.lit(1048573)) * F.lit(2654435761)) % F.lit(1048576)
+    base = d.select(
+        "doc_id",
+        "source",
+        h.cast("long").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("toks_before"),
+    )
+    return out.where(F.col("toks_before") < 1280)
+
+
+# Bloom bit positions shared by _bloom_decontam and its DuckDB twin: the
+# value of four hex nibbles of md5(gram) starting at 1-based offset
+# `off`, written in the SQL dialect subset BOTH engines parse and
+# evaluate identically (md5 -> lowercase hex in Spark and DuckDB; instr
+# is 1-based in both; substr(str, pos, len) ditto).
+def _bloom_pos_sql(off: int) -> str:
+    nibbles = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(gram), {off + j}, 1)) - 1)"
+        f" * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    return f"({nibbles})"
+
+
+def _bloom_decontam(spark, sf_dir):
+    """Bloom-filter benchmark decontamination — the scale-path variant
+    of `ngram_decontam`: instead of broadcasting the full eval gram set
+    (unbounded — benchmarks grow), build a FIXED-SIZE 65536-slot Bloom
+    filter (k=2 positions from md5 nibbles of the gram) and flag each
+    training doc with its count of distinct grams whose both positions
+    are set. Supersets the exact answer by construction (false positives
+    possible, false negatives impossible — the pytest gate asserts the
+    superset against `ngram_decontam`); production re-checks only the
+    flagged docs exactly, so the expensive exact join runs on the hit
+    subset.
+
+    Scale shape: the filter relation is <= 2 * 65536 rows REGARDLESS of
+    eval-set size — two broadcast left-semi probes filter the corpus
+    gram stream map-side; the only shuffle is the final per-doc
+    countDistinct. Bit positions are pure integer arithmetic over md5
+    hex, bit-identical in Spark and DuckDB (same `_bloom_pos_sql` text
+    feeds both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    g = _word_grams(d).select(
+        "doc_id",
+        "gram",
+        F.expr(_bloom_pos_sql(1)).cast("long").alias("p1"),
+        F.expr(_bloom_pos_sql(5)).cast("long").alias("p2"),
+    )
+    ev = g.where(F.col("doc_id") % 7 == 0)
+    bits = (
+        ev.select(F.col("p1").alias("b"))
+        .union(ev.select(F.col("p2").alias("b")))
+        .distinct()
+    )
+    train = g.where(F.col("doc_id") % 7 != 0)
+    hits = train.join(
+        F.broadcast(bits), train["p1"] == bits["b"], "left_semi"
+    )
+    hits = hits.join(
+        F.broadcast(bits), hits["p2"] == bits["b"], "left_semi"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_bloom_hits")
+    )
+
+
 def _source_quality_stats(spark, sf_dir):
     """Domain-level rollup — the input to a C4/RefinedWeb-style domain
     filter: per source (the fixture's stand-in for a crawl domain), doc
@@ -1651,9 +1791,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_score": _langid_score,
         "ngram_decontam": _ngram_decontam,
         "boilerplate_ngrams": _boilerplate_ngrams,
+        "bloom_decontam": _bloom_decontam,  # fixed-size scale path of ^
         "stratified_hash_sample": _stratified_hash_sample,
+        "token_budget_mix": _token_budget_mix,
         "repetition_stats": _repetition_stats,
         "shard_assign": _shard_assign,
+        "pack_chunks": _pack_chunks,
         "source_quality_stats": _source_quality_stats,
         "vocab_topk": _vocab_topk,
         "bpe_merge_step": _bpe_merge_step,
@@ -1672,12 +1815,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "window_first_event": _window_first_event,
         "window_topk_values": _window_topk_values,
+        # the tail a 50-row driver cap drops: rows whose SURVEY §2 claims
+        # were already driver-green in round 3 AND carry a stronger local
+        # gate (pytest plan/partition asserts + scripts/check_contract.py),
+        # plus the superseded variants (O3's union row is dedup_candidates'
+        # job; quality_score/token_count_quality/stopword_langid were
+        # upgraded to quality_filter_verdict/token_stats/langid_score)
         "json_extract_agg": _json_extract_agg,
         "date_trunc_counts": _date_trunc_counts,
         "anti_join": _anti_join,  # O4 resume subtraction (rows=0 by design)
-        # near-duplicates below are also gated elsewhere (union of candidate
-        # generators is dedup_candidates' job), so O3's coverage row and the
-        # superseded variants take the tail a 50-row driver cap drops
         "union_distinct": _union_distinct,
         "quality_score": _quality_score,
         "token_count_quality": _token_count_quality,
@@ -2069,6 +2215,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ((doc_id % 1048573) * 2654435761) % 1048576
                   < CASE WHEN lang = 'en' THEN 131072 ELSE 524288 END
+        """,
+        # same _bloom_pos_sql text as the Spark side — md5/substr/instr
+        # evaluate identically in both engines (lowercase hex, 1-based)
+        "bloom_decontam": f"""
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+              FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+              WHERE len(w) >= 8
+            ), pos AS (
+              SELECT doc_id, gram,
+                     {_bloom_pos_sql(1)} AS p1,
+                     {_bloom_pos_sql(5)} AS p2
+              FROM grams
+            ), bits AS (
+              SELECT DISTINCT p1 AS b FROM pos WHERE doc_id % 7 = 0
+              UNION
+              SELECT DISTINCT p2 FROM pos WHERE doc_id % 7 = 0
+            )
+            SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_bloom_hits
+            FROM pos
+            WHERE doc_id % 7 <> 0
+              AND p1 IN (SELECT b FROM bits)
+              AND p2 IN (SELECT b FROM bits)
+            GROUP BY doc_id
+        """,
+        "pack_chunks": """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(((doc_id % 1048573) * 2654435761) % 16 AS BIGINT)
+                       AS shard,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), pref AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_tok
+              FROM base
+            )
+            SELECT doc_id, shard, n_tokens, start_tok,
+                   start_tok // 2048 AS first_chunk,
+                   (start_tok + n_tokens - 1) // 2048 AS last_chunk
+            FROM pref
+        """,
+        "token_budget_mix": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     CAST(((doc_id % 1048573) * 2654435761) % 1048576
+                          AS BIGINT) AS h,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), pref AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY source ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS toks_before
+              FROM base
+            )
+            SELECT doc_id, source, n_tokens, toks_before
+            FROM pref WHERE toks_before < 1280
         """,
         "repetition_stats": """
             WITH words AS (

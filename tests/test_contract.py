@@ -178,3 +178,76 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(c.name for c in df.schema.fields) == {"url", "cluster_id"}
+
+
+def test_bloom_decontam_supersets_exact(spark):
+    """Bloom membership can false-positive but never false-negative: every
+    doc ngram_decontam flags must appear in bloom_decontam with at least
+    as many hit grams (a shared gram sets its own two bits, so it always
+    probes positive)."""
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["doc_id"]: r["shared_grams"]
+        for r in entry_mod._ngram_decontam(spark, sf).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in entry_mod._bloom_decontam(spark, sf).collect()
+    }
+    assert exact, "fixture must plant at least one contaminated doc"
+    for doc_id, n in exact.items():
+        assert bloom.get(doc_id, 0) >= n, doc_id
+
+
+def test_pack_chunks_layout(spark):
+    """Packing invariants: every doc appears once; within each shard the
+    token offsets are exactly the prefix sums in doc_id order (contiguous
+    concatenation — no gaps, no overlaps); chunk ids are the L=2048 cuts
+    of that concatenation."""
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod._pack_chunks(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in docs:
+            assert r["start_tok"] == offset, (shard, r["doc_id"])
+            assert r["first_chunk"] == offset // 2048
+            assert r["last_chunk"] == (offset + r["n_tokens"] - 1) // 2048
+            assert r["first_chunk"] <= r["last_chunk"]
+            offset += r["n_tokens"]
+
+
+def test_token_budget_mix_is_maximal_prefix(spark):
+    """The admitted docs of each source are exactly the maximal prefix of
+    the (hash, doc_id) order that started under the 1280-token budget —
+    recomputed independently from the raw table."""
+    sf = "/root/testdata/sf0.001"
+    kept = {
+        (r["source"], r["doc_id"]): r["toks_before"]
+        for r in entry_mod._token_budget_mix(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    by_source = {}
+    for r in docs:
+        h = ((r["doc_id"] % 1048573) * 2654435761) % 1048576
+        n_tok = len(r["text"].split(" "))
+        by_source.setdefault(r["source"], []).append((h, r["doc_id"], n_tok))
+    expect = {}
+    truncated_sources = 0
+    for source, lst in by_source.items():
+        lst.sort()
+        before = 0
+        for h, doc_id, n_tok in lst:
+            if before < 1280:
+                expect[(source, doc_id)] = before
+            else:
+                truncated_sources += 1
+                break
+            before += n_tok
+    assert kept == expect
+    assert truncated_sources > 0, "fixture must exercise the budget cutoff"
