@@ -1494,7 +1494,17 @@ def _langid_over(d: DataFrame) -> DataFrame:
     still a pure JVM map, no shuffle, no UDF). The markers are literal
     strings (no regex metacharacters), and both Java regex and DuckDB's
     RE2 match literal alternations leftmost-first non-overlapping, so the
-    twin is exact."""
+    twin is exact.
+
+    CONTRACT NOTE (intended semantic change, round 4): non-overlapping
+    alternation counting differs from round 3's independent per-marker
+    substring counts when two markers share boundary characters (e.g. the
+    trailing space of " of " consumes the leading space of a following
+    " and ", so the pair counts 1 here vs 2 under per-marker counting).
+    This is the DEFINED scoring for this query from round 4 on — the
+    DuckDB twin implements the same non-overlapping semantics, and the
+    accuracy gate (tests/test_langid.py) is measured against it. Round-3
+    score compatibility is explicitly not preserved."""
 
     counts = {
         lang: F.regexp_count(

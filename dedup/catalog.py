@@ -251,9 +251,13 @@ class Warehouse:
         manifest, then swap the pointer file with os.replace. Readers
         resolve the pointer, so they see either the old generation or the
         new one — never a half-written directory. The superseded
-        generation is deleted after the swap (the base run's plain
-        directory is kept: it documents the base state and a stray delete
-        crash there would orphan nothing)."""
+        generation is deleted after the swap. Retention contract: the base
+        run's PLAIN directory (no `__gen_` suffix) is kept by replace()
+        itself, but it is NOT permanent — `incremental.compact()` retires
+        it once a compacted generation pointer covers it (the pointer file
+        is then the single source of truth; keeping the plain dir would
+        double storage for no reader benefit). A base snapshot that must
+        outlive compaction belongs in an external backup, not here."""
         import shutil
         import uuid as _uuid
 
