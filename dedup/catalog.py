@@ -84,62 +84,130 @@ class Warehouse:
     def _lease_path(self) -> str:
         return os.path.join(self.root, self.LEASE)
 
+    @staticmethod
+    def _proc_start(pid: int):
+        """Process start time (clock ticks since boot, /proc/<pid>/stat
+        field 22) — distinguishes a pid from a later process that reused
+        the same pid. None when /proc is unavailable (non-Linux) or the
+        pid is gone."""
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                stat = f.read()
+            # comm (field 2) may contain spaces/parens: parse after the
+            # LAST ')' — everything before it is pid+comm
+            return int(stat[stat.rindex(b")") + 2:].split()[19])
+        except (OSError, ValueError, IndexError):
+            return None
+
+    @classmethod
+    def _lease_is_live(cls, cur: dict) -> bool:
+        """True iff the lease payload `cur` names a process that is still
+        the SAME process that wrote it. A recorded start time that no
+        longer matches /proc means the pid was recycled — the writer is
+        dead even though kill(pid, 0) succeeds (ADVICE r4: pid reuse must
+        not wedge acquisition permanently)."""
+        pid = cur.get("pid")
+        if not isinstance(pid, int):
+            return False
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            pass  # pid exists under another uid — fall through to starttime
+        rec = cur.get("pid_start")
+        if rec is not None:
+            now = cls._proc_start(pid)
+            if now is not None and now != rec:
+                return False  # pid recycled: the recorded writer is dead
+        return True
+
     def acquire_lease(self) -> bool:
         """Take the warehouse writer lease. Returns True if this call took
         ownership (caller must release), False for a re-entrant acquire by
-        the pid that already owns it. Raises LeaseHeldError if a LIVE
-        other process holds it; a lease whose pid is dead (crashed writer)
-        is taken over atomically."""
+        the process that already owns it. Raises LeaseHeldError if a LIVE
+        other process holds it; a lease whose writer is dead (crashed, or
+        its pid recycled) is taken over via an atomic compare-and-swap.
+
+        Race-free by construction (ADVICE r4, both TOCTOU holes):
+        (a) the payload is staged in a private file and PUBLISHED with
+            os.link() — creation is atomic and the visible lease file is
+            complete from its first visible instant, so no reader can ever
+            observe an empty/corrupt lease written by a healthy writer;
+        (b) stale-lease takeover first CLAIMS the dead lease by renaming
+            it to a private per-attempt name — exactly one concurrent
+            taker wins that rename — then verifies the claimed bytes are
+            the same lease it judged stale (token match) before publishing
+            its own lease with the same link() step. A fresh lease that
+            slipped in between read and rename is restored and the loop
+            re-evaluates, so a live writer is never displaced."""
         import uuid as _uuid
 
         os.makedirs(self.root, exist_ok=True)
         path = self._lease_path()
         token = _uuid.uuid4().hex
-        payload = json.dumps(
-            {"pid": os.getpid(), "run_id": self.run_id, "token": token,
-             "acquired_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-        )
+        stage = path + f".stage.{token}"
+        with open(stage, "w") as f:
+            f.write(json.dumps(
+                {"pid": os.getpid(), "pid_start": self._proc_start(os.getpid()),
+                 "run_id": self.run_id, "token": token,
+                 "acquired_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+            ))
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-            return True
-        except FileExistsError:
-            pass
-        try:
-            with open(path) as f:
-                cur = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            cur = {}
-        pid = cur.get("pid")
-        if pid == os.getpid():
-            return False  # re-entrant: outer caller owns + releases
-        alive = False
-        if isinstance(pid, int):
-            try:
-                os.kill(pid, 0)
-                alive = True
-            except ProcessLookupError:
-                alive = False
-            except PermissionError:
-                alive = True  # pid exists under another uid
-        if alive:
+            for _ in range(64):  # bounded: each retry means another writer acted
+                try:
+                    os.link(stage, path)  # atomic publish, never empty
+                    return True
+                except FileExistsError:
+                    pass
+                try:
+                    with open(path) as f:
+                        cur = json.load(f)
+                except FileNotFoundError:
+                    continue  # holder released between link and read: retry
+                except (json.JSONDecodeError, OSError):
+                    cur = {}  # torn/legacy lease: no healthy writer writes one
+                if cur.get("pid") == os.getpid() and self._lease_is_live(cur):
+                    return False  # re-entrant: outer caller owns + releases
+                if self._lease_is_live(cur):
+                    raise LeaseHeldError(
+                        f"warehouse {self.root} is locked by live pid "
+                        f"{cur.get('pid')} (run_id {cur.get('run_id')!r}, "
+                        f"since {cur.get('acquired_at')})"
+                    )
+                # stale: CAS-claim the dead lease (one winner per rename)
+                claim = path + f".claim.{token}"
+                try:
+                    os.rename(path, claim)
+                except FileNotFoundError:
+                    continue  # another taker claimed it first: re-evaluate
+                try:
+                    with open(claim) as f:
+                        claimed = json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    claimed = cur  # unreadable == the torn lease we judged stale
+                if claimed.get("token") not in (cur.get("token"), None):
+                    # a FRESH lease slipped in between our read and our
+                    # rename — put it back (link: no-op if its writer
+                    # already re-published) and re-evaluate it
+                    try:
+                        os.link(claim, path)
+                    except FileExistsError:
+                        pass
+                    os.remove(claim)
+                    continue
+                os.remove(claim)  # the dead lease is retired; publish ours
             raise LeaseHeldError(
-                f"warehouse {self.root} is locked by live pid {pid} "
-                f"(run_id {cur.get('run_id')!r}, since {cur.get('acquired_at')})"
+                f"warehouse {self.root}: lease churned through 64 "
+                f"acquire attempts — giving up"
             )
-        # stale lease (crashed writer): take over atomically, then verify
-        # our token won (two concurrent takeovers race on the replace)
-        tmp = path + f".takeover.{token}"
-        with open(tmp, "w") as f:
-            f.write(payload)
-        os.replace(tmp, path)
-        with open(path) as f:
-            if json.load(f).get("token") != token:
-                raise LeaseHeldError(
-                    f"warehouse {self.root}: lost the stale-lease takeover race"
-                )
-        return True
+        finally:
+            try:
+                os.remove(stage)
+            except FileNotFoundError:
+                pass
 
     def release_lease(self) -> None:
         """Drop the lease iff this process still owns it (a takeover by

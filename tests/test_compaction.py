@@ -327,3 +327,105 @@ def test_lease_released_after_run_and_on_error(spark, splits, tmp_path_factory):
     with pytest.raises(ValueError, match="already present"):
         run_incremental(spark, base_df.limit(5), DEFAULT, wh_root)
     assert not os.path.exists(os.path.join(wh_root, "_LEASE.json"))
+
+
+def test_lease_torn_or_empty_file_is_stale(tmp_path):
+    """An empty or torn lease file is treated as a crashed writer and taken
+    over. A HEALTHY writer can never produce one (the payload is staged
+    privately and published with os.link — ADVICE r4 hole (b) was a reader
+    observing the O_CREAT..write gap as an empty file and stealing a live
+    lease; that gap no longer exists)."""
+    import json
+
+    root = str(tmp_path / "wh")
+    wh = _wh(root)
+    os.makedirs(root, exist_ok=True)
+    open(os.path.join(root, "_LEASE.json"), "w").close()  # zero bytes
+
+    assert wh.acquire_lease() is True
+    with open(os.path.join(root, "_LEASE.json")) as f:
+        cur = json.load(f)
+    assert cur["pid"] == os.getpid()
+    assert cur["pid_start"] == Warehouse._proc_start(os.getpid())
+    wh.release_lease()
+
+
+def test_lease_pid_reuse_is_dead(tmp_path):
+    """A lease whose pid is alive but whose recorded start time belongs to
+    an EARLIER process with the same pid (pid recycling) is stale — it must
+    be taken over, not treated as live (which would wedge acquisition
+    permanently) and not treated as re-entrant (our own pid recycled from a
+    crashed writer's)."""
+    import json
+
+    root = str(tmp_path / "wh")
+    wh = _wh(root)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "_LEASE.json"), "w") as f:
+        json.dump({"pid": os.getpid(), "pid_start": -1, "run_id": "ghost",
+                   "token": "z"}, f)
+
+    assert wh.acquire_lease() is True  # takeover, NOT re-entrant False
+    with open(os.path.join(root, "_LEASE.json")) as f:
+        assert json.load(f)["pid_start"] == Warehouse._proc_start(os.getpid())
+    wh.release_lease()
+
+
+def test_lease_takeover_cas_lost_race_retries(tmp_path, monkeypatch):
+    """If another taker wins the rename-claim first (our os.rename sees
+    FileNotFoundError), acquisition loops and re-evaluates instead of
+    publishing blindly — the CAS guarantees at most one winner per claim."""
+    import json
+
+    root = str(tmp_path / "wh")
+    wh = _wh(root)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "_LEASE.json"), "w") as f:
+        json.dump({"pid": 99999999, "run_id": "dead", "token": "y"}, f)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(src)  # simulated: a rival claimed first
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    assert wh.acquire_lease() is True
+    assert calls["n"] >= 2  # retried after the lost race
+    monkeypatch.undo()
+    wh.release_lease()
+
+
+def test_lease_takeover_restores_fresh_lease(tmp_path, monkeypatch):
+    """ADVICE r4 hole (a): if a FRESH lease is published between our
+    staleness read and our rename-claim, the claimed bytes fail the token
+    check, the fresh lease is restored, and acquisition re-evaluates it
+    (here: live holder -> LeaseHeldError). Two live writers can no longer
+    both conclude they own the lease."""
+    import json
+
+    root = str(tmp_path / "wh")
+    wh = _wh(root)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "_LEASE.json")
+    with open(path, "w") as f:
+        json.dump({"pid": 99999999, "run_id": "dead", "token": "y"}, f)
+
+    fresh = {"pid": 1, "run_id": "rival", "token": "FRESH"}
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # the rival's takeover lands just before ours claims
+        with open(src, "w") as f:
+            json.dump(fresh, f)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    with pytest.raises(LeaseHeldError, match="live pid 1"):
+        wh.acquire_lease()
+    monkeypatch.undo()
+    with open(path) as f:
+        assert json.load(f)["token"] == "FRESH"  # restored, not destroyed
