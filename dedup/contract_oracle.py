@@ -45,7 +45,7 @@ MARKER = "_COMPLETE.json"
 TABLES = (
     "pages", "signatures", "buckets", "candidates", "verified", "clusters",
     "mplsh_topk", "modality_features", "ivf_topk", "semdedup",
-    "modality_thumbs", "modality_frames", "bpe_merges",
+    "modality_thumbs", "modality_frames", "bpe_merges", "bpe_tokens",
 )
 
 #: merge rounds for the bpe_train contract query — shared by the Spark
@@ -252,6 +252,43 @@ def _bpe_reference_frame(sf_dir: str):
     )
 
 
+def _bpe_encode_reference_frame(sf_dir: str):
+    """Single-process reference BPE ENCODER for the `bpe_encode` contract
+    query: run the reference trainer above, then replay its merges in
+    learned order (each greedy left-to-right) over the distinct word
+    dictionary — (word, tokens, n_syms). The Spark encoder must reproduce
+    this table exactly."""
+    import re
+
+    import pandas as pd
+
+    merges = _bpe_reference_frame(sf_dir)
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = set()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if len(w) >= 2 and re.fullmatch("[a-z]+", w):
+                words.add(w)
+    syms = {w: list(w) for w in words}
+    for _, m in merges.iterrows():
+        a, b = m["left"], m["right"]
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return pd.DataFrame(
+        {
+            "word": sorted(words),
+            "tokens": [" ".join(syms[w]) for w in sorted(words)],
+            "n_syms": [len(syms[w]) for w in sorted(words)],
+        }
+    )
+
+
 def ensure_cache(sf_dir: str, cfg=None) -> str:
     """Run the NumPy oracle on the corpus synthesized from sf_dir (if not
     already cached for this config + kernel version) and return the cache
@@ -296,6 +333,7 @@ def ensure_cache(sf_dir: str, cfg=None) -> str:
         "modality_thumbs": _modality_thumbs_reference_frame(corpus.pages),
         "modality_frames": _modality_frames_reference_frame(corpus.pages),
         "bpe_merges": _bpe_reference_frame(sf_dir),
+        "bpe_tokens": _bpe_encode_reference_frame(sf_dir),
     }
     for name, df in frames.items():
         df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)

@@ -316,3 +316,36 @@ def test_mix_prefilter_is_answer_preserving(spark):
         )
         assert fast == naive
         assert len(fast) > 0
+
+
+def test_bpe_encode_reproduces_hand_tokenization(spark):
+    """Encoding with the trained merges must reproduce a hand-computed
+    tokenization: on 'low'x5 + 'lowest'x2 + 'lower'x1 the 5 learned
+    merges are lo, low, lowe(s? no: see bpe_train test)... recomputed:
+    pairs r1 (l,o)=8 -> lo; r2 (lo,w)=8 -> low; r3 (low,e)=3 -> lowe;
+    r4 (lowe,s)=2 (lex before (s,t)) -> lowes; r5 (lowes,t)=2 -> lowest.
+    So: low -> [low], lowest -> [lowest], lower -> [lowe, r]."""
+    text = " ".join(["low"] * 5 + ["lowest"] * 2 + ["lower"])
+    df = spark.createDataFrame([(text,)], "text string")
+    got = {
+        r["word"]: (r["tokens"], r["n_syms"])
+        for r in entry_mod._bpe_encode_over(spark, df, 5).collect()
+    }
+    assert got == {
+        "low": ("low", 1),
+        "lowest": ("lowest", 1),
+        "lower": ("lowe r", 2),
+    }
+
+
+def test_decontam_bloom_exact_equals_exact(spark):
+    """The composed Bloom -> exact pipeline must return EXACTLY the
+    ngram_decontam answer (Bloom has no false negatives, so the exact
+    re-check on the flagged subset loses nothing)."""
+    sf = "/root/testdata/sf0.001"
+    exact = sorted(map(tuple, entry_mod._ngram_decontam(spark, sf).collect()))
+    composed = sorted(
+        map(tuple, entry_mod._decontam_bloom_exact(spark, sf).collect())
+    )
+    assert composed == exact
+    assert len(exact) > 0
