@@ -149,6 +149,26 @@ import os as _os
 
 STAGE3_STRATEGY = _os.environ.get("DEDUP_STAGE3_STRATEGY", "window")
 
+#: physical strategy for stage4_verify's signature-attach joins —
+#: output-identical, different shuffle payloads:
+#:   "full": join candidates against ALL signatures; every url's ~1 KB
+#:     minhash array enters the two join shuffles whether or not it
+#:     appears in any pair. The right default when pair-url density is
+#:     high (the bench corpus: 94% of docs are in a dup pair, so the
+#:     semi-join prefilter would drop almost nothing and its extra
+#:     candidate-scan passes are pure overhead).
+#:   "semi": left-semi-join each signature side to the distinct
+#:     participating urls first (AQE broadcasts the url sets when small),
+#:     so only pair-participating urls ship their minhash payload. The
+#:     scale shape when pair-url density is LOW — a lightly-duplicated
+#:     crawl where |pair urls| << |corpus| cuts the dominant verify
+#:     shuffle by that ratio (docs/SCALE.md verify-join note; measured
+#:     deltas in BENCH/BASELINE.md).
+#: A physical-plan knob (results identical, gated by
+#: tests/test_stage4_strategy.py), so it rides an env var like
+#: STAGE3_STRATEGY, not DedupConfig / the config hash.
+STAGE4_STRATEGY = _os.environ.get("DEDUP_STAGE4_STRATEGY", "full")
+
 
 def _dense_url_ids(urls: DataFrame) -> DataFrame:
     """(url) -> (url, uid): dense 0-based ids ordered by url, so uid
@@ -467,6 +487,7 @@ def stage4_verify(
     signatures: DataFrame,
     pages: DataFrame,
     cfg: DedupConfig,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Attach exact signature-Jaccard, Hamming distance and sha equality to
     every candidate pair (all JVM-side expressions); run the substring
@@ -476,7 +497,13 @@ def stage4_verify(
         is_dup = sha_equal OR jaccard >= tau OR hamming <= radius
                  OR (winnow-sourced AND shares a normalized substring
                      >= min_substr)
+
+    `strategy` ("full" | "semi", default STAGE4_STRATEGY) picks the
+    physical shape of the signature-attach joins — see STAGE4_STRATEGY.
     """
+    strategy = strategy or STAGE4_STRATEGY
+    if strategy not in ("full", "semi"):
+        raise ValueError(f"unknown stage-4 strategy {strategy!r}")
     mh_col = F.col("minhash")
     if cfg.minhash_scheme == "oph":
         # OPH slots are 31-bit values (hashing.oph_minhash_with_runnerup):
@@ -501,6 +528,18 @@ def stage4_verify(
         F.col("simhash").alias("sim_b"),
         F.col("text_sha").alias("sha_b"),
     )
+    if strategy == "semi":
+        # prune each signature side to the urls that actually appear in a
+        # pair BEFORE its 1 KB minhash payload enters the attach join's
+        # shuffle: the distinct url sets are pair-bounded, AQE broadcasts
+        # them when small, and the prune runs map-side over the (cached)
+        # signatures relation
+        sig_a = sig_a.join(
+            candidates.select("url_a").distinct(), "url_a", "left_semi"
+        )
+        sig_b = sig_b.join(
+            candidates.select("url_b").distinct(), "url_b", "left_semi"
+        )
     joined = candidates.join(sig_a, "url_a").join(sig_b, "url_b")
 
     matches = F.aggregate(
