@@ -349,3 +349,19 @@ def test_decontam_bloom_exact_equals_exact(spark):
     )
     assert composed == exact
     assert len(exact) > 0
+
+
+def test_pack_chunks_twin_at_second_shard_count(spark, ddb):
+    """The DuckDB twin itself, evaluated at a SECOND shard count (64):
+    proves the parameterization didn't bake 16 into the semantics — the
+    same SQL with the shard modulus swapped matches the Spark plan
+    value-for-value."""
+    sql64 = entry_mod.oracle_sql()["pack_chunks"].replace("% 16", "% 64")
+    want = _normalize(ddb.execute(sql64).fetchdf())
+    got = _normalize(
+        entry_mod._pack_chunks_over(
+            spark.read.parquet(f"{SF}/documents.parquet"), 64
+        ).toPandas()
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
