@@ -1877,33 +1877,40 @@ def _xor_fold(col):
     return F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x))
 
 
+def _pipeline_tables(spark, sf_dir) -> dict:
+    """Shared access to the in-memory dedup pipeline's stage DataFrames.
+
+    Materializes the NumPy oracle's stage tables for this sf first so the
+    DuckDB twins (oracle_sql) can read them when the driver runs them, then
+    builds the pipeline once per (session, sf_dir): the driver calls each
+    dedup_* query separately; the cached stage DataFrames (signatures/
+    candidates/verified are .cache()d inside run_in_memory) make every
+    subsequent consumer reuse the computation. Keyed by applicationId so a
+    restarted session never gets stale DataFrames bound to a stopped context.
+    """
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+    from dedup.pipeline import run_in_memory
+    from dedup.synth import load_pages_spark
+
+    ensure_cache(sf_dir, DEFAULT)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PIPELINE_CACHE:
+        # evict entries from other (stopped/replaced) sessions: their
+        # DataFrames are unusable and would otherwise pin references
+        # for the life of a long-running service process
+        for stale in [k for k in _PIPELINE_CACHE if k[0] != key[0]]:
+            del _PIPELINE_CACHE[stale]
+        pages = load_pages_spark(spark, sf_dir)
+        _PIPELINE_CACHE[key] = run_in_memory(spark, pages, DEFAULT)
+    return _PIPELINE_CACHE[key]
+
+
 def _dedup_stage(table: str):
     def f(spark, sf_dir):
-        from dedup.config import DEFAULT
-        from dedup.contract_oracle import ensure_cache
-        from dedup.pipeline import run_in_memory
         from dedup.stages import cluster_report
-        from dedup.synth import load_pages_spark
 
-        # materialize the NumPy oracle's stage tables for this sf so the
-        # DuckDB twin (oracle_sql) can read them when the driver runs it
-        ensure_cache(sf_dir, DEFAULT)
-        # one pipeline build per (session, sf_dir): the driver calls each
-        # dedup_* query separately; the cached stage DataFrames
-        # (signatures/candidates/verified are .cache()d inside
-        # run_in_memory) make the 2nd..7th query reuse the computation.
-        # Keyed by applicationId so a restarted session never gets stale
-        # DataFrames bound to a stopped context.
-        key = (spark.sparkContext.applicationId, sf_dir)
-        if key not in _PIPELINE_CACHE:
-            # evict entries from other (stopped/replaced) sessions: their
-            # DataFrames are unusable and would otherwise pin references
-            # for the life of a long-running service process
-            for stale in [k for k in _PIPELINE_CACHE if k[0] != key[0]]:
-                del _PIPELINE_CACHE[stale]
-            pages = load_pages_spark(spark, sf_dir)
-            _PIPELINE_CACHE[key] = run_in_memory(spark, pages, DEFAULT)
-        out = _PIPELINE_CACHE[key]
+        out = _pipeline_tables(spark, sf_dir)
         if table == "report":
             return cluster_report(out["clusters"])
         df = out[table]
@@ -1938,6 +1945,53 @@ def _dedup_stage(table: str):
     return f
 
 
+def _simhash_near_dup(spark, sf_dir):
+    """Standalone SimHash near-dup tier (Charikar 2002 fingerprints, Manku
+    et al. 2007 pigeonhole blocking): pairs of pages whose 64-bit SimHash
+    Hamming distance is <= hamming_radius, surfaced as their own
+    driver-verified row rather than folded into the union'd dedup_candidates
+    generators. Blocking is exact for the configured radius (radius <=
+    blocks - combo, enforced by DedupConfig), modulo the same max_bucket cap
+    the engine applies.
+
+    100 TB shape: ONE shuffle of (combo_id, packed_key, url, simhash)
+    entries — 20 rows x ~40 B per doc; the window count-cap filter and the
+    collect_list reuse that single hash partitioning (EnsureRequirements
+    inserts no second exchange, same plan shape as stage 3), pair explosion
+    happens inside codegen on cap-bounded buckets, and the Hamming verify is
+    a pure-JVM bit_count(xor) on values carried IN the entries (no join back
+    to the corpus-sized signatures relation).
+    """
+    from dedup.config import DEFAULT
+    from dedup.stages import _simhash_combo_entries
+
+    out = _pipeline_tables(spark, sf_dir)
+    sig = out["signatures"].select("url", "simhash")
+    ent = _simhash_combo_entries(sig, DEFAULT).join(sig, "url").select(
+        "k1", "k2", F.struct("url", "simhash").alias("e")
+    )
+    w = Window.partitionBy("k1", "k2")
+    grp = (
+        ent.withColumn("n", F.count("*").over(w))
+        .filter((F.col("n") >= 2) & (F.col("n") <= DEFAULT.max_bucket))
+        .groupBy("k1", "k2")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+    )
+    lhs = grp.select(F.posexplode("es").alias("i", "a"), "es")
+    pairs = lhs.select(
+        F.col("a.url").alias("url_a"),
+        F.col("a.simhash").alias("sh_a"),
+        F.explode(F.slice("es", F.col("i") + F.lit(2), F.size("es"))).alias("b"),
+    ).select(
+        "url_a",
+        F.col("b.url").alias("url_b"),
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("b.simhash")))
+        .cast("long")
+        .alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= DEFAULT.hamming_radius).distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy (ADVICE r4: rotate, don't park): the driver's
     # correctness board records the FIRST 50 rows, so the registry leads
@@ -1963,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": _dedup_stage("report"),  # A6 cluster-size histogram
         # dedup/similarity tiers
         "exact_dup_groups": _exact_dup_groups,
+        "simhash_near_dup": _simhash_near_dup,  # V9: standalone SimHash tier
         "suffix_dup_spans": _suffix_dup_spans,
         "suffix_dup_spans_sampled": _suffix_dup_spans_sampled,
         "line_dedup_reconstruct": _line_dedup_reconstruct,
@@ -2001,7 +2056,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modality_features": _modality_features,  # twinned vs NumPy reference
         "modality_thumbnail": _modality_thumbnail,  # twinned vs reference
         "frame_sample": _frame_sample,  # twinned vs reference
-        "html_stats": _html_stats,
         # round-4 tail rows, promoted back onto the board this round
         # (rotation: each was last driver-verified on the round-3 board)
         "window_topk_values": _window_topk_values,
@@ -2009,10 +2063,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_trunc_counts": _date_trunc_counts,
         "anti_join": _anti_join,  # O4 resume subtraction (rows=0 by design)
         "union_distinct": _union_distinct,
-        # the rotating tail past the 50-row driver board: all SEVEN were
+        # the rotating tail past the 50-row driver board: all EIGHT were
         # driver-green on the round-4 board (CORRECTNESS_r04.json), keep
         # their stronger local gates (pytest plan/partition asserts +
         # scripts/check_contract.py), and will rotate back on next round
+        # (html_stats was demoted this round to make board room for the
+        # new simhash_near_dup row)
+        "html_stats": _html_stats,
         "scan_filter_project": _scan_filter_project,
         "salted_group_count": _salted_group_count,
         "broadcast_star_join": _broadcast_star_join,
@@ -2328,6 +2385,29 @@ def _dedup_twin_sql(cache: str) -> dict[str, str]:
               SELECT cluster_id, count(*) AS size
               FROM read_parquet('{clu}') GROUP BY cluster_id
             ) GROUP BY size
+        """,
+        # standalone SimHash tier: identical combo-key blocking (sim_sql is
+        # the SAME generated SQL the dedup_candidates twin uses), identical
+        # max_bucket cap, exact Hamming verify via bit_count(xor)
+        "simhash_near_dup": f"""
+            WITH sig AS (SELECT url, simhash FROM read_parquet('{sig}')),
+            ent AS (SELECT k1, k2, url FROM ({sim_sql})),
+            ok AS (SELECT k1, k2 FROM ent GROUP BY k1, k2
+                   HAVING count(*) BETWEEN 2 AND {max_bucket}),
+            pairs AS (
+              SELECT DISTINCT e1.url AS url_a, e2.url AS url_b
+              FROM ent e1
+              JOIN ent e2 ON e1.k1 = e2.k1 AND e1.k2 = e2.k2
+                         AND e1.url < e2.url
+              JOIN ok ON ok.k1 = e1.k1 AND ok.k2 = e1.k2
+            )
+            SELECT p.url_a, p.url_b,
+                   CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+                       AS hamming
+            FROM pairs p
+            JOIN sig sa ON sa.url = p.url_a
+            JOIN sig sb ON sb.url = p.url_b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {radius}
         """,
     }
 

@@ -199,6 +199,28 @@ def test_bloom_decontam_supersets_exact(spark):
         assert bloom.get(doc_id, 0) >= n, doc_id
 
 
+def test_simhash_near_dup_matches_engine_sim_tier(spark):
+    """The standalone SimHash tier (V9) must agree with the engine: its
+    pairs are exactly the verified pairs that carry a 'simhash' source
+    (same combo blocking, same max_bucket cap) with Hamming distance
+    within the configured radius."""
+    from dedup.config import DEFAULT
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.url_a, r.url_b, int(r.hamming))
+        for r in entry_mod._simhash_near_dup(spark, sf).collect()
+    }
+    want = {
+        (r.url_a, r.url_b, int(r.hamming))
+        for r in entry_mod._dedup_stage("verified_pairs")(spark, sf).collect()
+        if "simhash" in r.sources.split(",")
+        and r.hamming <= DEFAULT.hamming_radius
+    }
+    assert got, "fixture must contain at least one simhash near-dup pair"
+    assert got == want
+
+
 @pytest.mark.parametrize("n_shards", [16, 64])
 def test_pack_chunks_layout(spark, n_shards):
     """Packing invariants at TWO shard counts (VERDICT r4 wrong #4: the
