@@ -1967,7 +1967,7 @@ def _simhash_near_dup(spark, sf_dir):
 
     out = _pipeline_tables(spark, sf_dir)
     sig = out["signatures"].select("url", "simhash")
-    ent = _simhash_combo_entries(sig, DEFAULT).join(sig, "url").select(
+    ent = _simhash_combo_entries(sig, DEFAULT, carry=("simhash",)).select(
         "k1", "k2", F.struct("url", "simhash").alias("e")
     )
     w = Window.partitionBy("k1", "k2")

@@ -105,11 +105,15 @@ class CandidateOut(NamedTuple):
     counts: DataFrame          # candidates AND dropped_buckets materialized
 
 
-def _simhash_combo_entries(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def _simhash_combo_entries(
+    signatures: DataFrame, cfg: DedupConfig, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """SimHash combination blocking (Manku et al. 2007): one packed key per
     combo-subset of blocks, all built as JVM bit expressions — hamming <=
     blocks - combo ⇒ at least one combo key equal. Returns
-    (k1=combo_id, k2=packed_key, url)."""
+    (k1=combo_id, k2=packed_key, url, *carry) — `carry` names extra
+    signature columns to ride along in the entries (so consumers that need
+    them avoid a join back to the corpus-sized signatures relation)."""
     import itertools
 
     widths = cfg.simhash_block_widths
@@ -129,8 +133,8 @@ def _simhash_combo_entries(signatures: DataFrame, cfg: DedupConfig) -> DataFrame
             key = key * F.lit(1 << widths[i]) + _block(i)
         combo_structs.append(F.struct(F.lit(cid).alias("k1"), key.alias("k2")))
     return signatures.select(
-        "url", F.explode(F.array(*combo_structs)).alias("b")
-    ).select(F.col("b.k1").alias("k1"), F.col("b.k2").alias("k2"), "url")
+        "url", *carry, F.explode(F.array(*combo_structs)).alias("b")
+    ).select(F.col("b.k1").alias("k1"), F.col("b.k2").alias("k2"), "url", *carry)
 
 
 #: physical strategy for the shared capped-generator pipeline in
