@@ -1003,6 +1003,164 @@ def _boilerplate_ngrams(spark, sf_dir):
     )
 
 
+def _hash_weight_sql(col: str, salt: str) -> str:
+    """Deterministic per-(token, class) model weight in [-32768, 32767]:
+    four md5 hex nibbles of `col || '|salt'` assembled into a 16-bit
+    integer, centered. The SAME SQL text evaluates in Spark and DuckDB
+    (md5 lowercase hex, instr 1-based in both), so classifier scores are
+    integer-exact across engines — the same trick `_bloom_pos_sql` uses
+    for filter positions."""
+    nibbles = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({col} || '|{salt}'), {1 + j}, 1)) - 1)"
+        f" * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    return f"(({nibbles}) - 32768)"
+
+
+def _classifier_quality_score(spark, sf_dir):
+    """Hashed-linear-classifier inference — the fastText-style quality
+    classifier every CCNet/LLaMA-lineage pipeline runs after the rule
+    stack: each token hashes into a weight table per class (here the
+    weights derive deterministically from md5 so both engines share the
+    model; in production the table is a trained, broadcast array), a
+    doc's class scores are the sums over its token stream, and the label
+    is the argmax (tie -> 'hq'). All integer arithmetic — scores are
+    exact in both engines, no float-summation-order hazard.
+
+    Scale shape: model application is a PURE MAP over the exploded token
+    stream (weight lookup is O(1) per token against a broadcast table —
+    here computed inline from the hash), followed by ONE doc_id-keyed
+    aggregation with map-side partials. Zero joins, zero skew exposure
+    (doc_id is unique per group), one shuffle at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    scored = w.select(
+        "doc_id",
+        F.expr(_hash_weight_sql("word", "q0")).cast("long").alias("w_hq"),
+        F.expr(_hash_weight_sql("word", "q1")).cast("long").alias("w_lq"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("w_hq").alias("score_hq"),
+        F.sum("w_lq").alias("score_lq"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "score_hq",
+        "score_lq",
+        "n_tokens",
+        F.when(F.col("score_hq") >= F.col("score_lq"), F.lit("hq"))
+        .otherwise(F.lit("lq"))
+        .alias("label"),
+    )
+
+
+def _word_grams_distinct(d: DataFrame, n: int = 8) -> DataFrame:
+    """DISTINCT (doc_id, gram) rows with ZERO shuffle: a (doc_id, gram)
+    duplicate can only come from a repeat within one document, and every
+    gram of a document is generated from that document's single input
+    row — so `array_distinct` on the per-doc gram array BEFORE the
+    explode dedups entirely map-side, where `_word_grams(d).distinct()`
+    would shuffle the whole (pairs-sized) relation. Equality with the
+    shuffled form is exactly that observation; the consumers' DuckDB
+    twins all state the shuffled form (SELECT DISTINCT doc_id, gram)."""
+    w = F.split("text", " ")
+    return d.where(F.size(F.split("text", " ")) >= n).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(w, i, F.lit(n)), " "),
+                )
+            )
+        ).alias("gram"),
+    )
+
+
+def _ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty — the text-reuse signal dedup analyses
+    report (what fraction of a doc's word-8-grams does the corpus see for
+    the FIRST time in this doc, first = min doc_id): docs that mostly
+    repeat earlier grams are near-dup/boilerplate suspects even when no
+    single pair crosses the MinHash threshold. Output per doc: distinct
+    gram count, novel gram count, and an integer novelty percentage
+    ((100 * novel) div grams — floor division, exact in both engines).
+
+    Scale shape: the distinct (doc, gram) relation is deduped MAP-SIDE
+    (`_word_grams_distinct`: array_distinct before the explode — no
+    shuffle) and persisted for its two consumers (the multi-consumer
+    caching rule); the gram-keyed min() partial-aggregates map-side; the
+    join back is gram-keyed and AQE's skew split handles hot boilerplate
+    grams (each matches a 1-row first_doc side). Two shuffle keys total:
+    gram (agg + join) and doc_id (final rollup)."""
+    d = _t(spark, sf_dir, "documents")
+    pg = _word_grams_distinct(d).persist()
+    first = pg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        pg.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(100 * n_novel) div n_grams").alias("novelty_pct"),
+        )
+    )
+
+
+def _cms_heavy_grams(spark, sf_dir):
+    """Count-min-sketch heavy-hitter grams — the FIXED-SIZE scale path of
+    `boilerplate_ngrams`, the same move `bloom_decontam` makes for
+    `ngram_decontam`: instead of shuffling every distinct gram to count
+    its document frequency exactly, two 65536-slot CMS rows (positions =
+    md5 nibbles, the shared `_bloom_pos_sql` text) count distinct
+    (gram, doc) pairs per slot; a gram's estimate min(row1, row2) can
+    only OVERcount (collisions add, never subtract), so the flagged set
+    {est >= 3} supersets the exact boilerplate set by construction (the
+    pytest gate asserts superset + per-gram est >= exact doc_freq).
+    Production strips/recounts only flagged grams exactly.
+
+    Scale shape: NO vocabulary-sized shuffle anywhere — the distinct
+    (doc, gram) relation dedups map-side (`_word_grams_distinct`), each
+    CMS row aggregates to <= 65536 rows REGARDLESS of corpus size and
+    broadcasts back onto the gram stream, the >= 3 threshold filters
+    BEFORE the output distinct so the only gram-keyed exchange is sized
+    by the flagged set (heavy hitters — tiny by definition). The gram
+    relation is persisted once for its three consumers (two row builds
+    + the flagging scan)."""
+    d = _t(spark, sf_dir, "documents")
+    pg = (
+        _word_grams_distinct(d)
+        .select(
+            "gram",
+            F.expr(_bloom_pos_sql(1)).cast("long").alias("p1"),
+            F.expr(_bloom_pos_sql(5)).cast("long").alias("p2"),
+        )
+        .persist()
+    )
+    c1 = pg.groupBy("p1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = pg.groupBy("p2").agg(F.count(F.lit(1)).alias("c2"))
+    return (
+        pg.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .select(
+            "gram", F.least("c1", "c2").cast("long").alias("est_doc_freq")
+        )
+        .where(F.col("est_doc_freq") >= 3)
+        .distinct()
+    )
+
+
 def _stratified_hash_sample(spark, sf_dir):
     """Deterministic stratified sampling — reproducible train/held-out
     splits without a random() that would break resume/parity: a Knuth
@@ -1992,6 +2150,46 @@ def _simhash_near_dup(spark, sf_dir):
     return pairs.filter(F.col("hamming") <= DEFAULT.hamming_radius).distinct()
 
 
+def _cross_dup_domains(spark, sf_dir):
+    """Cross-domain duplicate attribution — the inter-source overlap
+    matrix a crawl pipeline reports after dedup (how much of dump/domain
+    A duplicates dump/domain B drives crawl scheduling and source
+    weighting): the engine's verified duplicate pairs rolled up by the
+    (host_a, host_b) pair, hosts ordered canonically so each unordered
+    domain pair counts once, with the exact-duplicate (sha-equal) subset
+    broken out. Host extraction uses the same pinned first-'://' anchor
+    as `url_canonicalize`.
+
+    Scale shape: consumes the ALREADY-VERIFIED pair table (pairs-sized,
+    orders of magnitude below the corpus), pure JVM string expressions +
+    one hash-partitioned agg with map-side partials keyed by the host
+    pair — output is domains^2-bounded, effectively tiny."""
+    out = _pipeline_tables(spark, sf_dir)
+
+    def host(c):
+        return F.coalesce(
+            F.get(F.split(F.get(F.split(F.col(c), "://"), 1), "/"), 0),
+            F.lit(""),
+        )
+
+    dups = out["verified_pairs"].where(F.col("is_dup"))
+    hosts = dups.select(
+        host("url_a").alias("ha"), host("url_b").alias("hb"), "sha_equal"
+    )
+    return (
+        hosts.select(
+            F.least("ha", "hb").alias("host_a"),
+            F.greatest("ha", "hb").alias("host_b"),
+            "sha_equal",
+        )
+        .groupBy("host_a", "host_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("sha_equal").cast("long")).cast("long").alias("n_exact"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy (ADVICE r4: rotate, don't park): the driver's
     # correctness board records the FIRST 50 rows, so the registry leads
@@ -2015,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_stage("clusters"),
         "dedup_canonical": _dedup_stage("canonical_pages"),
         "dedup_report": _dedup_stage("report"),  # A6 cluster-size histogram
+        "cross_dup_domains": _cross_dup_domains,  # inter-domain dup matrix
         # dedup/similarity tiers
         "exact_dup_groups": _exact_dup_groups,
         "simhash_near_dup": _simhash_near_dup,  # V9: standalone SimHash tier
@@ -2029,16 +2228,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": _semdedup_keep,  # twinned vs NumPy reference
         "knn_l2": _knn_l2,
         "knn_cosine": _knn_cosine,
-        "word_jaccard_pairs": _word_jaccard_pairs,
-        "prefix_near_dup_pairs": _prefix_near_dup_pairs,
-        "doc_fingerprint": _doc_fingerprint,
         # training-data pipeline operators
         "quality_filter_verdict": _quality_filter_verdict,
+        "classifier_quality_score": _classifier_quality_score,  # model inference
         "pii_scrub": _pii_scrub,
         "langid_score": _langid_score,
         "ngram_decontam": _ngram_decontam,
         "boilerplate_ngrams": _boilerplate_ngrams,
-        "bloom_decontam": _bloom_decontam,  # fixed-size scale path of ^
+        "cms_heavy_grams": _cms_heavy_grams,  # fixed-size scale path of ^
+        "ngram_novelty": _ngram_novelty,
+        "bloom_decontam": _bloom_decontam,  # fixed-size scale path of ngram_decontam
         "decontam_bloom_exact": _decontam_bloom_exact,  # composed flag->recheck
         "stratified_hash_sample": _stratified_hash_sample,
         "token_budget_mix": _token_budget_mix,
@@ -2051,7 +2250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _bpe_train,  # twinned vs single-process reference trainer
         "bpe_encode": _bpe_encode,  # twinned vs reference encoder
         "unigram_rarity": _unigram_rarity,
-        "token_stats": _token_stats,
         # multimodal plumbing
         "modality_features": _modality_features,  # twinned vs NumPy reference
         "modality_thumbnail": _modality_thumbnail,  # twinned vs reference
@@ -2063,13 +2261,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_trunc_counts": _date_trunc_counts,
         "anti_join": _anti_join,  # O4 resume subtraction (rows=0 by design)
         "union_distinct": _union_distinct,
-        # the rotating tail past the 50-row driver board: all EIGHT were
-        # driver-green on the round-4 board (CORRECTNESS_r04.json), keep
-        # their stronger local gates (pytest plan/partition asserts +
-        # scripts/check_contract.py), and will rotate back on next round
-        # (html_stats was demoted this round to make board room for the
-        # new simhash_near_dup row)
+        # the rotating tail past the 50-row driver board: every tail row
+        # was driver-green on the round-3 or round-4 board with code
+        # unchanged since, and ALL rows (board + tail) stay gated every
+        # round by scripts/check_contract.py + pytest. Board seats go to
+        # rows the driver has never verified (the round-5 additions:
+        # cross_dup_domains, classifier_quality_score, cms_heavy_grams,
+        # ngram_novelty, simhash_near_dup, bpe_encode,
+        # decontam_bloom_exact) ahead of long-stable primitives
+        # (word_jaccard/prefix_near_dup/doc_fingerprint/token_stats were
+        # r3+r4 double-verified and demoted this round).
         "html_stats": _html_stats,
+        "word_jaccard_pairs": _word_jaccard_pairs,
+        "prefix_near_dup_pairs": _prefix_near_dup_pairs,
+        "doc_fingerprint": _doc_fingerprint,
+        "token_stats": _token_stats,
         "scan_filter_project": _scan_filter_project,
         "salted_group_count": _salted_group_count,
         "broadcast_star_join": _broadcast_star_join,
@@ -2509,6 +2715,93 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ((doc_id % 1048573) * 2654435761) % 1048576
                   < CASE WHEN lang = 'en' THEN 131072 ELSE 524288 END
+        """,
+        # same _hash_weight_sql text as the Spark side — md5/substr/instr
+        # evaluate identically in both engines, all-integer scores
+        "classifier_quality_score": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                     CAST({_hash_weight_sql("word", "q0")} AS BIGINT) AS w_hq,
+                     CAST({_hash_weight_sql("word", "q1")} AS BIGINT) AS w_lq
+              FROM toks
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(SUM(w_hq) AS BIGINT) AS score_hq,
+                     CAST(SUM(w_lq) AS BIGINT) AS score_lq,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, score_hq, score_lq, n_tokens,
+                   CASE WHEN score_hq >= score_lq THEN 'hq' ELSE 'lq' END
+                       AS label
+            FROM agg
+        """,
+        "ngram_novelty": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+              FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+              WHERE len(w) >= 8
+            ), pg AS (
+              SELECT DISTINCT doc_id, gram FROM grams
+            ), fst AS (
+              SELECT gram, MIN(doc_id) AS first_doc FROM pg GROUP BY gram
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_novel
+              FROM pg JOIN fst USING (gram) GROUP BY doc_id
+            )
+            SELECT doc_id, n_grams, n_novel,
+                   (100 * n_novel) // n_grams AS novelty_pct
+            FROM agg
+        """,
+        # same _bloom_pos_sql positions as the Spark side; COUNT(*) per
+        # slot over the distinct (gram, doc) relation = the CMS row
+        "cms_heavy_grams": f"""
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+              FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+              WHERE len(w) >= 8
+            ), pg AS (
+              SELECT DISTINCT doc_id, gram,
+                     {_bloom_pos_sql(1)} AS p1,
+                     {_bloom_pos_sql(5)} AS p2
+              FROM grams
+            ), c1 AS (
+              SELECT p1, COUNT(*) AS n1 FROM pg GROUP BY p1
+            ), c2 AS (
+              SELECT p2, COUNT(*) AS n2 FROM pg GROUP BY p2
+            ), g AS (
+              SELECT DISTINCT gram, p1, p2 FROM pg
+            )
+            SELECT gram, CAST(LEAST(n1, n2) AS BIGINT) AS est_doc_freq
+            FROM g JOIN c1 USING (p1) JOIN c2 USING (p2)
+            WHERE LEAST(n1, n2) >= 3
+        """,
+        "cross_dup_domains": f"""
+            WITH d AS (
+              SELECT url_a, url_b, sha_equal
+              FROM read_parquet('{_cache01}/verified.parquet')
+              WHERE is_dup
+            ), h AS (
+              SELECT split_part(split_part(url_a, '://', 2), '/', 1) AS ha,
+                     split_part(split_part(url_b, '://', 2), '/', 1) AS hb,
+                     sha_equal
+              FROM d
+            )
+            SELECT LEAST(ha, hb) AS host_a, GREATEST(ha, hb) AS host_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN sha_equal THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_exact
+            FROM h GROUP BY 1, 2
         """,
         # same _bloom_pos_sql text as the Spark side — md5/substr/instr
         # evaluate identically in both engines (lowercase hex, 1-based)

@@ -387,3 +387,115 @@ def test_pack_chunks_twin_at_second_shard_count(spark, ddb):
     )
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cms_heavy_grams_supersets_boilerplate(spark):
+    """The count-min estimate can only overcount (slot collisions add,
+    never subtract), so the CMS-flagged gram set must superset the exact
+    boilerplate set and every exact heavy gram's estimate must be >= its
+    true distinct-doc frequency."""
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["gram"]: r["doc_freq"]
+        for r in entry_mod._boilerplate_ngrams(spark, sf).collect()
+    }
+    est = {
+        r["gram"]: r["est_doc_freq"]
+        for r in entry_mod._cms_heavy_grams(spark, sf).collect()
+    }
+    assert exact, "fixture must plant at least one boilerplate gram"
+    for gram, freq in exact.items():
+        assert est.get(gram, 0) >= freq, gram
+
+
+def test_classifier_score_matches_hand_computation(spark):
+    """Recompute three docs' class scores in pure Python (hashlib md5 per
+    token, same 4-nibble weight derivation) and pin the Spark output to
+    them — an engine-independent check of the inference arithmetic."""
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .limit(3)
+        .collect()
+    }
+
+    def weight(word: str, salt: str) -> int:
+        return int(hashlib.md5(f"{word}|{salt}".encode()).hexdigest()[:4], 16) - 32768
+
+    got = {
+        r["doc_id"]: r
+        for r in entry_mod._classifier_quality_score(spark, sf).collect()
+        if r["doc_id"] in docs
+    }
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        hq = sum(weight(w, "q0") for w in toks)
+        lq = sum(weight(w, "q1") for w in toks)
+        row = got[doc_id]
+        assert row["score_hq"] == hq and row["score_lq"] == lq, doc_id
+        assert row["n_tokens"] == len(toks)
+        assert row["label"] == ("hq" if hq >= lq else "lq")
+
+
+def test_ngram_novelty_matches_recomputation(spark):
+    """Independent single-process recomputation of first-introducer
+    novelty over the whole sf0.001 fixture: gram -> min doc_id, then
+    per-doc novel fraction — must match the distributed answer exactly."""
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    first: dict[str, int] = {}
+    per_doc: dict[int, set] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        w = r["text"].split(" ")
+        grams = {" ".join(w[i : i + 8]) for i in range(len(w) - 7)}
+        if not grams:
+            continue
+        per_doc[r["doc_id"]] = grams
+        for g in grams:
+            first.setdefault(g, r["doc_id"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_pct"])
+        for r in entry_mod._ngram_novelty(spark, sf).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, grams in per_doc.items():
+        novel = sum(1 for g in grams if first[g] == doc_id)
+        assert got[doc_id] == (
+            len(grams),
+            novel,
+            (100 * novel) // len(grams),
+        ), doc_id
+
+
+def test_cross_dup_domains_accounts_every_dup_pair(spark):
+    """The attribution matrix must partition the engine's verified dup
+    pairs: n_pairs sums to the is_dup pair count, n_exact to the
+    sha-equal subset, and every host value is a substring of some url."""
+    sf = "/root/testdata/sf0.001"
+    dups = [
+        r
+        for r in entry_mod._dedup_stage("verified_pairs")(spark, sf).collect()
+        if r["is_dup"]
+    ]
+    mat = entry_mod._cross_dup_domains(spark, sf).collect()
+    assert sum(r["n_pairs"] for r in mat) == len(dups)
+    assert sum(r["n_exact"] for r in mat) == sum(1 for r in dups if r["sha_equal"])
+    hosts = {u.split("://")[1].split("/")[0] for r in dups for u in (r["url_a"], r["url_b"])}
+    for r in mat:
+        assert r["host_a"] in hosts and r["host_b"] in hosts
+        assert r["host_a"] <= r["host_b"]
+
+
+def test_word_grams_distinct_equals_shuffled_distinct(spark):
+    """The map-side array_distinct dedup must equal the shuffled
+    `_word_grams().distinct()` form exactly — (doc, gram) duplicates can
+    only arise within one document's single input row."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    a = set(map(tuple, entry_mod._word_grams_distinct(d).collect()))
+    b = set(map(tuple, entry_mod._word_grams(d).distinct().collect()))
+    assert a == b and len(a) > 0
