@@ -237,6 +237,98 @@ def _unigram_rarity(spark, sf_dir):
     )
 
 
+def _bigram_lm_score(spark, sf_dir):
+    """Bigram conditional-LM surprise — the KenLM-shaped quality signal
+    one order above `unigram_rarity`: per bigram occurrence, surprise =
+    count(w1 as bigram prefix) DIV count(w1 w2) — an integer-exact
+    stand-in for -log P(w2|w1) (count ratios instead of logs, so there
+    is NO float summation-order ambiguity between engines); per doc, the
+    bigram count, surprise sum, and integer mean. High-surprise docs are
+    incoherent/gibberish candidates, the signal perplexity filters
+    threshold on.
+
+    Scale shape: both count tables are vocabulary-keyed aggs with
+    map-side partials; the scoring pass joins the bigram stream to its
+    two count tables (bigram-keyed, then prefix-keyed — each count row
+    is 1-wide, AQE skew split covers hot function words), then ONE
+    doc-keyed rollup. Identical pattern to unigram_rarity one order up,
+    sharing its 100 TB argument."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bg = (
+        d.where(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+                    lambda i: F.array_join(F.slice(w, i, F.lit(2)), " "),
+                )
+            ).alias("bigram"),
+        )
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .select("doc_id", F.expr("c1 div c2").alias("surprise"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("surprise").cast("long").alias("surprise_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprise_sum",
+            F.expr("surprise_sum div n_bigrams").alias("surprise_mean"),
+        )
+    )
+
+
+def _cluster_profile(spark, sf_dir):
+    """Per-cluster profile rollup — the reporting table a dedup run hands
+    to crawl/data-mixture owners: for every duplicate cluster the engine
+    found, its member count, distinct host and language spread, and the
+    warc_ts range (how long the duplicated content has been live — wide
+    ranges mean persistent boilerplate, single-day spikes mean crawl
+    artifacts). Consumes the ENGINE's cluster assignment (so this row
+    also re-verifies stage-5 output against the oracle's clusters in one
+    more shape) joined to the pages metadata.
+
+    Scale shape: a url-keyed equi-join of two corpus-sized relations
+    (both hash-partitioned on the join key) into ONE cluster-keyed agg;
+    the two countDistincts plan as Expand + two-phase partials, so a
+    mega-cluster's members dedup map-side per partition before the
+    cluster key concentrates them."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+
+    cache = ensure_cache(sf_dir, DEFAULT)
+    pages = spark.read.parquet(f"{cache}/pages.parquet")
+    host = F.coalesce(
+        F.get(F.split(F.get(F.split(F.col("url"), "://"), 1), "/"), 0),
+        F.lit(""),
+    )
+    meta = pages.select("url", host.alias("host"), "lang", "warc_ts")
+    clusters = _pipeline_tables(spark, sf_dir)["clusters"]
+    return (
+        clusters.join(meta, "url")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+    )
+
+
 def _exact_dup_groups(spark, sf_dir):  # exact hash-groupBy dedup tier
     """Exact deduplication, the tier below MinHash: group documents by
     sha256(text), keep groups of size > 1, canonical = min doc_id — the
@@ -311,6 +403,104 @@ def _line_dedup_reconstruct(spark, sf_dir):  # CCNet/RefinedWeb line-level dedup
         F.sum(
             F.when(F.col("is_common").isNotNull(), 1).otherwise(0)
         ).alias("n_removed"),
+    )
+
+
+def _intradoc_dedup_over(d: DataFrame, k: int = 8) -> DataFrame:
+    """Transform body of `intradoc_dedup` over any (doc_id, text) frame
+    (separable so tests can feed planted self-repeating docs)."""
+    w = F.split("text", " ")
+    n_chunks = F.ceil(F.size(w) / k).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(w, i * k + 1, F.lit(k)), " "),
+    )
+    kept = F.array_distinct(chunk_arr)
+    return d.select(
+        "doc_id",
+        F.size(chunk_arr).cast("long").alias("n_chunks"),
+        (F.size(chunk_arr) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def _intradoc_dedup(spark, sf_dir):
+    """Intra-document repetition removal — the WITHIN-doc counterpart of
+    `line_dedup_reconstruct` (Gopher/MassiveText strip self-repeating
+    spans: scraped pages often loop the same nav/footer/spam block many
+    times inside ONE document): deterministic non-overlapping 8-word
+    segmentation (same rule as T25), keep each distinct chunk's FIRST
+    occurrence in order, reassemble, report removal counts.
+    `array_distinct` preserves first-occurrence order, which the DuckDB
+    twin states explicitly as a row_number()-over-(doc, chunk) window —
+    the twin match IS the order-preservation proof.
+
+    Scale shape: ZERO shuffles — chunking, dedup, and reassembly are all
+    array expressions over one row inside whole-stage codegen; the op
+    runs at scan speed on any corpus size (contrast: the cross-doc pass
+    needs its countDistinct shuffle; this one never leaves the map)."""
+    return _intradoc_dedup_over(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _dsir_importance(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every corpus
+    doc by how target-like its feature distribution is — per word-bigram
+    occurrence, an integer likelihood-ratio stand-in
+    ((1 + target_count) * 1024) DIV (1 + corpus_count), summed per doc
+    with a floor mean. The target split is the deterministic doc_id % 7
+    stand-in (in production: the high-quality seed corpus); the weights
+    feed a sampler like T14's to reshape the mixture toward the target.
+    All-integer, so both engines agree exactly.
+
+    Scale shape: two vocabulary-keyed count aggs off one bigram stream
+    (map-side partials; the target side is seed-corpus-sized and arrives
+    broadcast), a left join fills ratio = 1024 DIV (1+c) for bigrams the
+    target never saw, one bigram-keyed join back onto the corpus stream
+    (AQE skew split on hot function-word bigrams), ONE doc-keyed rollup."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bg = d.where(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+                lambda i: F.array_join(F.slice(w, i, F.lit(2)), " "),
+            )
+        ).alias("bigram"),
+    )
+    tgt = (
+        bg.where(F.col("doc_id") % 7 == 0)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    cor = (
+        bg.where(F.col("doc_id") % 7 != 0)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    ratio = cor.join(F.broadcast(tgt), "bigram", "left").select(
+        "bigram",
+        F.expr("((1 + coalesce(t_cnt, 0)) * 1024) div (1 + c_cnt)").alias(
+            "ratio"
+        ),
+    )
+    return (
+        bg.where(F.col("doc_id") % 7 != 0)
+        .join(ratio, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("ratio").cast("long").alias("weight_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "weight_sum",
+            F.expr("weight_sum div n_feats").alias("weight_mean"),
+        )
     )
 
 
@@ -2214,12 +2404,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _dedup_stage("canonical_pages"),
         "dedup_report": _dedup_stage("report"),  # A6 cluster-size histogram
         "cross_dup_domains": _cross_dup_domains,  # inter-domain dup matrix
+        "cluster_profile": _cluster_profile,  # per-cluster rollup report
         # dedup/similarity tiers
         "exact_dup_groups": _exact_dup_groups,
         "simhash_near_dup": _simhash_near_dup,  # V9: standalone SimHash tier
         "suffix_dup_spans": _suffix_dup_spans,
         "suffix_dup_spans_sampled": _suffix_dup_spans_sampled,
         "line_dedup_reconstruct": _line_dedup_reconstruct,
+        "intradoc_dedup": _intradoc_dedup,  # within-doc counterpart of ^
         "url_canonicalize": _url_canonicalize,
         "cosine_near_dup": _cosine_near_dup,
         "ann_hyperplane": _ann_hyperplane,  # SQL-twinned; recall pytest-gated too
@@ -2240,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": _bloom_decontam,  # fixed-size scale path of ngram_decontam
         "decontam_bloom_exact": _decontam_bloom_exact,  # composed flag->recheck
         "stratified_hash_sample": _stratified_hash_sample,
+        "dsir_importance": _dsir_importance,  # mixture reweighting input
         "token_budget_mix": _token_budget_mix,
         "repetition_stats": _repetition_stats,
         "shard_assign": _shard_assign,
@@ -2250,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _bpe_train,  # twinned vs single-process reference trainer
         "bpe_encode": _bpe_encode,  # twinned vs reference encoder
         "unigram_rarity": _unigram_rarity,
+        "bigram_lm_score": _bigram_lm_score,  # conditional-LM order above ^
         # multimodal plumbing
         "modality_features": _modality_features,  # twinned vs NumPy reference
         "modality_thumbnail": _modality_thumbnail,  # twinned vs reference
@@ -2257,10 +2451,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 tail rows, promoted back onto the board this round
         # (rotation: each was last driver-verified on the round-3 board)
         "window_topk_values": _window_topk_values,
-        "json_extract_agg": _json_extract_agg,
-        "date_trunc_counts": _date_trunc_counts,
-        "anti_join": _anti_join,  # O4 resume subtraction (rows=0 by design)
-        "union_distinct": _union_distinct,
         # the rotating tail past the 50-row driver board: every tail row
         # was driver-green on the round-3 or round-4 board with code
         # unchanged since, and ALL rows (board + tail) stay gated every
@@ -2276,6 +2466,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_near_dup_pairs": _prefix_near_dup_pairs,
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
+        # anti_join/union_distinct are starter primitives whose operators
+        # the engine exercises structurally every run (left_anti resume
+        # subtraction is gated by the whole resume suite; unionByName+
+        # dropDuplicates by the candidate-source union) — demoted for two
+        # real-operator board seats (bigram_lm_score, cluster_profile)
+        "anti_join": _anti_join,  # O4 resume subtraction (rows=0 by design)
+        "union_distinct": _union_distinct,
         "scan_filter_project": _scan_filter_project,
         "salted_group_count": _salted_group_count,
         "broadcast_star_join": _broadcast_star_join,
@@ -2283,6 +2480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_event": _window_first_event,
         "bit_count_xor": _bit_count_xor,
         "doc_sha": _doc_sha,
+        # F10/F11 starter primitives (r3-board-verified; date handling is
+        # also gated by the warc_day partitioning suite) — demoted for
+        # the intradoc_dedup / dsir_importance board seats
+        "json_extract_agg": _json_extract_agg,
+        "date_trunc_counts": _date_trunc_counts,
     }
 
 
@@ -2785,6 +2987,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, CAST(LEAST(n1, n2) AS BIGINT) AS est_doc_freq
             FROM g JOIN c1 USING (p1) JOIN c2 USING (p2)
             WHERE LEAST(n1, n2) >= 3
+        """,
+        # the twin states first-occurrence keeping EXPLICITLY (row_number
+        # over (doc, chunk) by position), so matching it proves Spark's
+        # array_distinct preserved first-occurrence order
+        "intradoc_dedup": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), chunks AS (
+              SELECT doc_id, i AS seq,
+                     array_to_string(
+                       list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS chunk
+              FROM words,
+                   UNNEST(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)))
+                     AS t(i)
+            ), firsts AS (
+              SELECT doc_id, chunk, seq,
+                     row_number() OVER (PARTITION BY doc_id, chunk
+                                        ORDER BY seq) AS rn
+              FROM chunks
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                       ' ' ORDER BY seq), '') AS clean_text
+            FROM firsts GROUP BY doc_id
+        """,
+        "dsir_importance": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(w, i, i + 1), ' ') AS bigram
+              FROM words, UNNEST(range(1, len(w))) AS t(i)
+              WHERE len(w) >= 2
+            ), tgt AS (
+              SELECT bigram, COUNT(*) AS t_cnt FROM bg
+              WHERE doc_id % 7 = 0 GROUP BY bigram
+            ), cor AS (
+              SELECT bigram, COUNT(*) AS c_cnt FROM bg
+              WHERE doc_id % 7 <> 0 GROUP BY bigram
+            ), ratio AS (
+              SELECT bigram,
+                     ((1 + COALESCE(t_cnt, 0)) * 1024) // (1 + c_cnt)
+                         AS ratio
+              FROM cor LEFT JOIN tgt USING (bigram)
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   CAST(SUM(ratio) AS BIGINT) AS weight_sum,
+                   CAST(SUM(ratio) AS BIGINT) // COUNT(*) AS weight_mean
+            FROM bg JOIN ratio USING (bigram)
+            WHERE doc_id % 7 <> 0
+            GROUP BY doc_id
+        """,
+        "bigram_lm_score": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(w, i, i + 1), ' ') AS bigram
+              FROM words, UNNEST(range(1, len(w))) AS t(i)
+              WHERE len(w) >= 2
+            ), b AS (
+              SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
+              FROM bg
+            ), c2 AS (
+              SELECT bigram, COUNT(*) AS c2 FROM b GROUP BY bigram
+            ), c1 AS (
+              SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1
+            ), s AS (
+              SELECT doc_id, c1 // c2 AS surprise
+              FROM b JOIN c2 USING (bigram) JOIN c1 USING (w1)
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(surprise) AS BIGINT) AS surprise_sum,
+                   CAST(SUM(surprise) AS BIGINT) // COUNT(*) AS surprise_mean
+            FROM s GROUP BY doc_id
+        """,
+        "cluster_profile": f"""
+            WITH m AS (
+              SELECT url,
+                     split_part(split_part(url, '://', 2), '/', 1) AS host,
+                     lang, warc_ts
+              FROM read_parquet('{_cache01}/pages.parquet')
+            )
+            SELECT cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   MIN(warc_ts) AS first_ts,
+                   MAX(warc_ts) AS last_ts
+            FROM read_parquet('{_cache01}/clusters.parquet') JOIN m USING (url)
+            GROUP BY cluster_id
         """,
         "cross_dup_domains": f"""
             WITH d AS (

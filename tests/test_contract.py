@@ -499,3 +499,151 @@ def test_word_grams_distinct_equals_shuffled_distinct(spark):
     a = set(map(tuple, entry_mod._word_grams_distinct(d).collect()))
     b = set(map(tuple, entry_mod._word_grams(d).distinct().collect()))
     assert a == b and len(a) > 0
+
+
+def test_bigram_lm_score_matches_recomputation(spark):
+    """Independent single-process recomputation of the conditional-LM
+    surprise over the full sf0.001 fixture — global bigram and prefix
+    counts, integer floor-div scoring — must match exactly."""
+    from collections import Counter
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        if len(w) < 2:
+            continue
+        bgs = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        per_doc[r["doc_id"]] = bgs
+        for a, b in bgs:
+            c2[(a, b)] += 1
+            c1[a] += 1
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["surprise_sum"], r["surprise_mean"])
+        for r in entry_mod._bigram_lm_score(spark, sf).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, bgs in per_doc.items():
+        s = sum(c1[a] // c2[(a, b)] for a, b in bgs)
+        assert got[doc_id] == (len(bgs), s, s // len(bgs)), doc_id
+
+
+def test_cluster_profile_matches_recomputation(spark):
+    """The per-cluster rollup must partition the corpus (n_members sums
+    to the page count) and agree with a direct recomputation from the
+    engine's cluster assignment plus the pages metadata."""
+    from collections import defaultdict
+
+    sf = "/root/testdata/sf0.001"
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+
+    cache = ensure_cache(sf, DEFAULT)
+    pages = {
+        r["url"]: r
+        for r in spark.read.parquet(f"{cache}/pages.parquet")
+        .select("url", "lang", "warc_ts")
+        .collect()
+    }
+    assign = {
+        r["url"]: r["cluster_id"]
+        for r in entry_mod._dedup_stage("clusters")(spark, sf).collect()
+    }
+    want = defaultdict(lambda: {"m": 0, "hosts": set(), "langs": set(), "ts": []})
+    for url, cid in assign.items():
+        p = pages[url]
+        w = want[cid]
+        w["m"] += 1
+        w["hosts"].add(url.split("://")[1].split("/")[0])
+        w["langs"].add(p["lang"])
+        w["ts"].append(p["warc_ts"])
+    got = {r["cluster_id"]: r for r in entry_mod._cluster_profile(spark, sf).collect()}
+    assert set(got) == set(want)
+    assert sum(r["n_members"] for r in got.values()) == len(pages)
+    for cid, w in want.items():
+        g = got[cid]
+        assert (g["n_members"], g["n_hosts"], g["n_langs"]) == (
+            w["m"], len(w["hosts"]), len(w["langs"])), cid
+        assert g["first_ts"] == min(w["ts"]) and g["last_ts"] == max(w["ts"]), cid
+
+
+def test_intradoc_dedup_removes_planted_repetition(spark):
+    """A planted self-repeating doc (the same 8-word block looped 4x plus
+    a distinct tail) must collapse to first occurrence + tail; a doc with
+    all-distinct chunks must pass through byte-identical."""
+    block = "alpha beta gamma delta epsilon zeta eta theta"
+    tail = "unique closing words here now then done end"
+    rep = " ".join([block] * 4 + [tail])
+    clean = " ".join(f"w{i}" for i in range(24))
+    d = spark.createDataFrame(
+        [(1, rep), (2, clean)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in entry_mod._intradoc_dedup_over(d).collect()}
+    assert got[1]["clean_text"] == f"{block} {tail}"
+    assert got[1]["n_chunks"] == 5 and got[1]["n_removed"] == 3
+    assert got[2]["clean_text"] == clean and got[2]["n_removed"] == 0
+
+
+def test_intradoc_dedup_preserves_nonrepeated_text(spark):
+    """Over the real fixture: reassembling WITHOUT dedup must reproduce
+    the input text byte-for-byte (chunking is lossless), and every
+    clean_text is the first-occurrence subsequence of its chunks."""
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    got = {
+        r["doc_id"]: r
+        for r in entry_mod._intradoc_dedup(spark, sf).collect()
+    }
+    for r in rows:
+        w = r["text"].split(" ")
+        chunks = [
+            " ".join(w[i : i + 8]) for i in range(0, len(w), 8)
+        ]
+        assert " ".join(chunks) == r["text"], r["doc_id"]  # lossless chunking
+        seen, kept = set(), []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        g = got[r["doc_id"]]
+        assert g["clean_text"] == " ".join(kept), r["doc_id"]
+        assert g["n_chunks"] == len(chunks)
+        assert g["n_removed"] == len(chunks) - len(kept)
+
+
+def test_dsir_importance_matches_recomputation(spark):
+    """Independent recomputation of the integer likelihood-ratio weights
+    over the full sf0.001 fixture (target = doc_id % 7 split)."""
+    from collections import Counter
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    tgt, cor = Counter(), Counter()
+    per_doc = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        if len(w) < 2:
+            continue
+        bgs = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        if r["doc_id"] % 7 == 0:
+            tgt.update(bgs)
+        else:
+            cor.update(bgs)
+            per_doc[r["doc_id"]] = bgs
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight_sum"], r["weight_mean"])
+        for r in entry_mod._dsir_importance(spark, sf).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, bgs in per_doc.items():
+        s = sum(((1 + tgt[b]) * 1024) // (1 + cor[b]) for b in bgs)
+        assert got[doc_id] == (len(bgs), s, s // len(bgs)), doc_id
