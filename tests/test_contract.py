@@ -647,3 +647,44 @@ def test_dsir_importance_matches_recomputation(spark):
     for doc_id, bgs in per_doc.items():
         s = sum(((1 + tgt[b]) * 1024) // (1 + cor[b]) for b in bgs)
         assert got[doc_id] == (len(bgs), s, s // len(bgs)), doc_id
+
+
+def test_round5_operator_plan_shapes(spark):
+    """Pin the round-5 operators' scale claims to their physical plans:
+    intradoc_dedup is map-only (no exchange), classifier inference has
+    exactly ONE exchange (the doc rollup), and cms_heavy_grams has no
+    gram-keyed exchange BEFORE its threshold filter (the two sketch
+    exchanges are slot-keyed, the post-filter distinct is output-sized)."""
+    sf = "/root/testdata/sf0.001"
+
+    plan = (
+        entry_mod._intradoc_dedup(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+    plan = (
+        entry_mod._classifier_quality_score(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+
+    plan = (
+        entry_mod._cms_heavy_grams(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exchanges: two slot-keyed sketch builds (+ their broadcasts) and
+    # one post-filter distinct keyed by (gram, est) — nothing keyed by
+    # gram upstream of the least()>=3 condition
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    gram_keyed = [e for e in hash_exchanges if "gram" in e]
+    assert len(gram_keyed) == 1  # only the output distinct
+    assert "est_doc_freq" in gram_keyed[0]
