@@ -2380,6 +2380,160 @@ def _cross_dup_domains(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-5 final batch (V18-V21): crawl-policy blocklist filtering, global
+# keep-first chunk dedup, contamination scoring, lexical diversity
+# ---------------------------------------------------------------------------
+def _url_blocklist_filter(spark, sf_dir):
+    """UT1-style domain blocklist filtering — the crawl-policy pass that
+    drops every page whose host is on a curated blocklist (adult/spam/
+    malware lists in production; here the deterministic stand-in "first
+    md5 nibble of the host is 0 or 1", ~1/8 of hosts, so both engines
+    derive the same list with no external data — the fixture's 22 hosts
+    split 5 blocked / 17 kept). Output: per SURVIVING host, its page
+    count — blocked hosts are absent entirely.
+
+    Scale shape: a real blocklist is ~10^6 hosts vs ~10^12 pages, so it
+    BROADCASTS and the left_anti join is map-side (zero shuffle for the
+    filter itself); the only Exchange is the final host-keyed rollup
+    with map-side partials. Host extraction reuses `url_canonicalize`'s
+    pinned rules (strip ?/# first, host = first-'://' split) — pure JVM
+    string expressions inside whole-stage codegen, twin-identical in
+    DuckDB."""
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+
+    cache = ensure_cache(sf_dir, DEFAULT)
+    pages = spark.read.parquet(f"{cache}/pages.parquet")
+    base = F.substring_index(
+        F.substring_index(F.col("url"), "#", 1), "?", 1
+    )
+    host = F.coalesce(
+        F.get(F.split(F.get(F.split(base, "://"), 1), "/"), 0), F.lit("")
+    )
+    tagged = pages.select(host.alias("host"))
+    blocklist = (
+        tagged.select("host")
+        .distinct()
+        .where(F.substring(F.md5("host"), 1, 1).isin("0", "1"))
+    )
+    return (
+        tagged.join(F.broadcast(blocklist), "host", "left_anti")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def _chunk_keep_first_dedup(spark, sf_dir):
+    """Global keep-first exact chunk dedup — the RefinedWeb-style policy
+    one notch stronger than `line_dedup_reconstruct` (which only strips
+    chunks shared by >= 3 docs): EVERY duplicated 8-word chunk survives
+    only at its globally first occurrence (lowest doc_id, then lowest
+    position) and every later copy — cross-document or within-document —
+    is removed. Output per doc: chunk accounting + reassembled text.
+
+    Scale shape: one explode -> ONE chunk-keyed aggregation
+    (min(struct(doc_id, chunk_no)) partial-aggregates map-side; chunk
+    keys are near-unique so no skew) -> join back on chunk (the same
+    gram-keyed shape as `ngram_novelty`, AQE splits any hot boilerplate
+    chunk) -> one doc-keyed reassembly agg. Two shuffles + one join at
+    any corpus size; nothing is driver-side."""
+    K = 8
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_chunks = F.ceil(F.size("w") / K).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice("w", i * K + 1, F.lit(K)), " "),
+    )
+    c = d.select("doc_id", F.posexplode(chunk_arr).alias("chunk_no", "chunk"))
+    first = c.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_no")).alias("first")
+    )
+    flagged = c.join(first, "chunk").withColumn(
+        "keep",
+        (F.col("first.doc_id") == F.col("doc_id"))
+        & (F.col("first.chunk_no") == F.col("chunk_no")),
+    )
+    kept_sorted = F.filter(
+        F.array_sort(F.collect_list(F.struct("chunk_no", "chunk", "keep"))),
+        lambda s: s["keep"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(kept_sorted, lambda s: s["chunk"]), " "
+        ).alias("clean_text"),
+    )
+
+
+def _decontam_overlap_frac(spark, sf_dir):
+    """Contamination SCORING — the graded companion to `ngram_decontam`'s
+    binary flag: for EVERY training doc (zero-overlap docs included,
+    unlike the flag query), the fraction of its distinct word-8-grams
+    that also occur in the held-out eval split (doc_id % 7 == 0
+    stand-in) as an integer percentage (100 * shared DIV distinct) —
+    the score a pipeline thresholds to quarantine partially-contaminated
+    docs instead of dropping on first hit.
+
+    Scale shape: identical to ngram_decontam's — the eval gram set
+    broadcasts, the corpus gram stream dedups entirely map-side
+    (`_word_grams_distinct`) and left-joins the broadcast set, then ONE
+    doc-keyed agg with map-side partials. Integer div (`div` / `//`)
+    on both sides, no float hazard."""
+    d = _t(spark, sf_dir, "documents")
+    grams = _word_grams_distinct(d)
+    eval_grams = (
+        grams.where(F.col("doc_id") % 7 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.where(F.col("doc_id") % 7 != 0)
+        .join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("shared_grams"),
+        )
+        .withColumn("overlap_pct", F.expr("(100 * shared_grams) div n_grams"))
+    )
+
+
+def _lexical_diversity(spark, sf_dir):
+    """Lexical-diversity quality signal — type-token ratio and hapax
+    count per document (the Gopher-style keyword-stuffing/gibberish
+    guard: spam pages loop a tiny vocabulary so their TTR collapses;
+    word salad reads TTR ~100 with almost all hapax words). Integer
+    exact: ttr_pct = 100 * distinct words DIV total words.
+
+    Scale shape: explode -> ONE (doc_id, word)-keyed count agg (keys
+    near-unique, map-side partials carry most of the reduction) -> ONE
+    doc-keyed rollup. Two shuffles, zero joins, zero windows, zero skew
+    exposure at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    per_word = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .withColumn("ttr_pct", F.expr("(100 * n_types) div n_words"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy (ADVICE r4: rotate, don't park): the driver's
     # correctness board records the FIRST 50 rows, so the registry leads
@@ -2412,14 +2566,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_dup_spans_sampled": _suffix_dup_spans_sampled,
         "line_dedup_reconstruct": _line_dedup_reconstruct,
         "intradoc_dedup": _intradoc_dedup,  # within-doc counterpart of ^
+        "chunk_keep_first_dedup": _chunk_keep_first_dedup,  # V19 global keep-first
         "url_canonicalize": _url_canonicalize,
+        "url_blocklist_filter": _url_blocklist_filter,  # V18 crawl-policy filter
         "cosine_near_dup": _cosine_near_dup,
         "ann_hyperplane": _ann_hyperplane,  # SQL-twinned; recall pytest-gated too
         "mplsh_knn": _mplsh_knn,  # twinned vs materialized NumPy reference
         "ivf_knn": _ivf_knn,  # twinned vs materialized NumPy reference
         "semdedup_keep": _semdedup_keep,  # twinned vs NumPy reference
-        "knn_l2": _knn_l2,
-        "knn_cosine": _knn_cosine,
         # training-data pipeline operators
         "quality_filter_verdict": _quality_filter_verdict,
         "classifier_quality_score": _classifier_quality_score,  # model inference
@@ -2431,10 +2585,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _ngram_novelty,
         "bloom_decontam": _bloom_decontam,  # fixed-size scale path of ngram_decontam
         "decontam_bloom_exact": _decontam_bloom_exact,  # composed flag->recheck
+        "decontam_overlap_frac": _decontam_overlap_frac,  # V20 graded score
         "stratified_hash_sample": _stratified_hash_sample,
         "dsir_importance": _dsir_importance,  # mixture reweighting input
         "token_budget_mix": _token_budget_mix,
         "repetition_stats": _repetition_stats,
+        "lexical_diversity": _lexical_diversity,  # V21 TTR/hapax signal
         "shard_assign": _shard_assign,
         "pack_chunks": _pack_chunks,
         "source_quality_stats": _source_quality_stats,
@@ -2446,8 +2602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": _bigram_lm_score,  # conditional-LM order above ^
         # multimodal plumbing
         "modality_features": _modality_features,  # twinned vs NumPy reference
-        "modality_thumbnail": _modality_thumbnail,  # twinned vs reference
-        "frame_sample": _frame_sample,  # twinned vs reference
         # round-4 tail rows, promoted back onto the board this round
         # (rotation: each was last driver-verified on the round-3 board)
         "window_topk_values": _window_topk_values,
@@ -2457,10 +2611,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round by scripts/check_contract.py + pytest. Board seats go to
         # rows the driver has never verified (the round-5 additions:
         # cross_dup_domains, classifier_quality_score, cms_heavy_grams,
-        # ngram_novelty, simhash_near_dup, bpe_encode,
-        # decontam_bloom_exact) ahead of long-stable primitives
-        # (word_jaccard/prefix_near_dup/doc_fingerprint/token_stats were
-        # r3+r4 double-verified and demoted this round).
+        # ngram_novelty, simhash_near_dup, bpe_encode, decontam_bloom_exact,
+        # url_blocklist_filter, chunk_keep_first_dedup,
+        # decontam_overlap_frac, lexical_diversity) ahead of long-stable
+        # primitives (word_jaccard/prefix_near_dup/doc_fingerprint/
+        # token_stats were r3+r4 double-verified and demoted this round;
+        # knn_l2/knn_cosine/modality_thumbnail/frame_sample were r3+r4
+        # double-verified and demoted for the final-batch board seats).
+        "knn_l2": _knn_l2,
+        "knn_cosine": _knn_cosine,
+        "modality_thumbnail": _modality_thumbnail,  # twinned vs reference
+        "frame_sample": _frame_sample,  # twinned vs reference
         "html_stats": _html_stats,
         "word_jaccard_pairs": _word_jaccard_pairs,
         "prefix_near_dup_pairs": _prefix_near_dup_pairs,
@@ -2912,6 +3073,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, COUNT(DISTINCT doc_id) AS doc_freq
             FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3
+        """,
+        # V20: same gram construction as ngram_decontam, LEFT join so
+        # zero-overlap docs appear; integer // matches Spark's div
+        "decontam_overlap_frac": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+              FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+              WHERE len(w) >= 8
+            ), eval_grams AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
+            )
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS shared_grams,
+                   (100 * CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0
+                        END) AS BIGINT)) // count(*) AS overlap_pct
+            FROM grams g LEFT JOIN eval_grams e ON g.gram = e.gram
+            WHERE g.doc_id % 7 <> 0
+            GROUP BY g.doc_id
+        """,
+        # V18: same pinned url->host rules as url_canonicalize's twin;
+        # the blocklist rule (first md5 nibble in {0,1}) is engine-shared
+        "url_blocklist_filter": f"""
+            WITH p AS (
+              SELECT split_part(split_part(url, '#', 1), '?', 1) AS base
+              FROM read_parquet('{_cache01}/pages.parquet')
+            ), h AS (
+              SELECT split_part(split_part(base, '://', 2), '/', 1) AS host
+              FROM p
+            )
+            SELECT host, count(*) AS n_pages FROM h
+            WHERE substr(md5(host), 1, 1) NOT IN ('0', '1')
+            GROUP BY host
+        """,
+        # V19: the twin states keep-first as an explicit global window
+        # (row_number over (chunk) ordered by doc_id, chunk_no) — matching
+        # Spark's min(struct) + join-back proves the two are equivalent
+        "chunk_keep_first_dedup": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), c AS (
+              SELECT doc_id, i - 1 AS chunk_no,
+                     array_to_string(
+                       list_slice(w, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' '
+                     ) AS chunk
+              FROM d, UNNEST(range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1))
+                   AS t(i)
+            ), ranked AS (
+              SELECT doc_id, chunk_no, chunk,
+                     row_number() OVER (
+                       PARTITION BY chunk ORDER BY doc_id, chunk_no
+                     ) AS rn
+              FROM c
+            )
+            SELECT doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_removed,
+                   COALESCE(array_to_string(
+                     list(chunk ORDER BY chunk_no) FILTER (WHERE rn = 1), ' '
+                   ), '') AS clean_text
+            FROM ranked
+            GROUP BY doc_id
+        """,
+        # V21: all-integer TTR/hapax rollup
+        "lexical_diversity": """
+            WITH words AS (
+              SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+              FROM documents
+            ), per_word AS (
+              SELECT doc_id, word, count(*) AS cnt
+              FROM words GROUP BY doc_id, word
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_words,
+                   count(*) AS n_types,
+                   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   (100 * count(*)) // CAST(sum(cnt) AS BIGINT) AS ttr_pct
+            FROM per_word GROUP BY doc_id
         """,
         "stratified_hash_sample": """
             SELECT doc_id, lang FROM documents

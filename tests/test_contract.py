@@ -688,3 +688,134 @@ def test_round5_operator_plan_shapes(spark):
     gram_keyed = [e for e in hash_exchanges if "gram" in e]
     assert len(gram_keyed) == 1  # only the output distinct
     assert "est_doc_freq" in gram_keyed[0]
+
+
+def test_url_blocklist_filter_blocks_and_keeps(spark):
+    """Independent hashlib recomputation of the host blocklist over the
+    cached pages corpus: blocked hosts must be entirely absent, kept
+    hosts' page counts exact, and both partitions non-empty (the rule is
+    only a meaningful filter if it actually splits the fixture). Also
+    pins the plan shape: the anti-join must broadcast (no shuffled join
+    for the filter)."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+    from dedup.config import DEFAULT
+    from dedup.contract_oracle import ensure_cache
+
+    sf = "/root/testdata/sf0.001"
+    cache = ensure_cache(sf, DEFAULT)
+    urls = pd.read_parquet(f"{cache}/pages.parquet", columns=["url"])["url"]
+    counts = Counter(
+        u.split("#", 1)[0].split("?", 1)[0].split("://", 1)[1].split("/", 1)[0]
+        for u in urls
+    )
+    blocked = {
+        h for h in counts if hashlib.md5(h.encode()).hexdigest()[0] in "01"
+    }
+    kept = {h: n for h, n in counts.items() if h not in blocked}
+    assert blocked and kept  # the rule splits the fixture both ways
+    df = entry_mod._url_blocklist_filter(spark, sf)
+    got = {r["host"]: r["n_pages"] for r in df.collect()}
+    assert got == kept
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_chunk_keep_first_dedup_matches_recomputation(spark):
+    """Single-process recomputation of global keep-first chunk dedup over
+    the full sf0.001 fixture: every duplicated 8-word chunk survives only
+    at (min doc_id, min chunk_no); reassembly preserves order."""
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    first = {}
+    per_doc = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        w = r["text"].split(" ")
+        chunks = [" ".join(w[i : i + 8]) for i in range(0, len(w), 8)]
+        per_doc[r["doc_id"]] = chunks
+        for pos, c in enumerate(chunks):
+            first.setdefault(c, (r["doc_id"], pos))
+    got = {
+        r["doc_id"]: r
+        for r in entry_mod._chunk_keep_first_dedup(spark, sf).collect()
+    }
+    n_dupes_somewhere = 0
+    for doc_id, chunks in per_doc.items():
+        kept = [
+            c
+            for pos, c in enumerate(chunks)
+            if first[c] == (doc_id, pos)
+        ]
+        g = got[doc_id]
+        assert g["n_chunks"] == len(chunks), doc_id
+        assert g["n_removed"] == len(chunks) - len(kept), doc_id
+        assert g["clean_text"] == " ".join(kept), doc_id
+        n_dupes_somewhere += g["n_removed"]
+    assert n_dupes_somewhere > 0  # the fixture actually exercises removal
+
+
+def test_decontam_overlap_frac_matches_recomputation(spark):
+    """Set-based recomputation of the graded contamination score: eval
+    grams from the doc_id%7 split, per-doc distinct-gram overlap as an
+    integer percentage; zero-overlap docs must be PRESENT with pct 0
+    (the graded query scores everyone, unlike the binary flag)."""
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    grams = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        if len(w) >= 8:
+            grams[r["doc_id"]] = {
+                " ".join(w[i : i + 8]) for i in range(len(w) - 7)
+            }
+    eval_set = set().union(
+        *(g for d, g in grams.items() if d % 7 == 0)
+    )
+    got = {
+        r["doc_id"]: r
+        for r in entry_mod._decontam_overlap_frac(spark, sf).collect()
+    }
+    train = {d: g for d, g in grams.items() if d % 7 != 0}
+    assert set(got) == set(train)
+    zero_seen = False
+    for d, g in train.items():
+        shared = len(g & eval_set)
+        assert got[d]["n_grams"] == len(g), d
+        assert got[d]["shared_grams"] == shared, d
+        assert got[d]["overlap_pct"] == (100 * shared) // len(g), d
+        zero_seen = zero_seen or shared == 0
+    assert zero_seen  # left join keeps uncontaminated docs on the board
+
+
+def test_lexical_diversity_matches_recomputation(spark):
+    """Counter-based recomputation of TTR / hapax counts over the full
+    sf0.001 fixture."""
+    from collections import Counter
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in entry_mod._lexical_diversity(spark, sf).collect()
+    }
+    for r in rows:
+        c = Counter(r["text"].split(" "))
+        g = got[r["doc_id"]]
+        assert g["n_words"] == sum(c.values())
+        assert g["n_types"] == len(c)
+        assert g["n_hapax"] == sum(1 for v in c.values() if v == 1)
+        assert g["ttr_pct"] == (100 * len(c)) // sum(c.values())
