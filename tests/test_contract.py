@@ -819,3 +819,105 @@ def test_lexical_diversity_matches_recomputation(spark):
         assert g["n_types"] == len(c)
         assert g["n_hapax"] == sum(1 for v in c.values() if v == 1)
         assert g["ttr_pct"] == (100 * len(c)) // sum(c.values())
+
+
+def test_asof_join_matches_recomputation(spark):
+    """Pure-Python recomputation of the as-of join over the full sf0.001
+    events fixture: for each click, the matched error must be the max
+    error ts <= click ts for that user; clicks with no prior error are
+    absent (inner as-of)."""
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    errors = {}
+    for r in rows:
+        if r["event_type"] == "error":
+            errors.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    for v in errors.values():
+        v.sort()
+    want = {}
+    for r in rows:
+        if r["event_type"] != "click":
+            continue
+        cands = [e for e in errors.get(r["user_id"], []) if e[0] <= r["ts"]]
+        if cands:
+            ets, eid = max(cands)
+            td = r["ts"] - ets
+            gap = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+            want[r["event_id"]] = (eid, gap)
+    got = {
+        r["event_id"]: (r["err_event_id"], r["gap_us"])
+        for r in entry_mod._asof_join_events(spark, sf).collect()
+    }
+    assert got == want
+    assert want  # the fixture actually exercises matches
+
+
+def test_asof_join_tie_rule_is_inclusive(spark):
+    """An error at the EXACT click timestamp must match (ASOF >= — the
+    is_left secondary sort key), and a later error must not."""
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 5, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, 7, t0, "error"),   # exactly at the click ts
+            (2, 7, t0, "click"),   # must match event 1, gap 0
+            (3, 7, t1, "error"),   # later: must NOT rewrite history
+            (4, 7, t1, "click"),   # must match event 3
+            (5, 8, t0, "click"),   # user 8 has no error: absent
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    got = {
+        r["event_id"]: (r["err_event_id"], r["gap_us"])
+        for r in entry_mod._asof_join_over(ev).collect()
+    }
+    assert got == {2: (1, 0), 4: (3, 0)}
+
+
+def test_sessionize_events_matches_recomputation(spark):
+    """Pure-Python recomputation of 30-minute-gap sessionization over the
+    full sf0.001 events fixture."""
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    want = {}
+    multi_session_seen = False
+    for uid, evs in by_user.items():
+        evs.sort()
+        sess_no, start = 0, None
+        sessions = []
+        for ts, eid in evs:
+            gap_us = (
+                None
+                if start is None
+                else ((ts - prev).days * 86_400 + (ts - prev).seconds)
+                * 1_000_000
+                + (ts - prev).microseconds
+            )
+            if start is None or gap_us > 30 * 60 * 1_000_000:
+                sess_no += 1
+                sessions.append([])
+                start = ts
+            sessions[-1].append((ts, eid))
+            prev = ts
+        multi_session_seen = multi_session_seen or len(sessions) > 1
+        for i, s in enumerate(sessions, 1):
+            td = s[-1][0] - s[0][0]
+            dur = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+            want[(uid, i)] = (len(s), s[0][1], s[-1][1], dur)
+    got = {
+        (r["user_id"], r["session_no"]): (
+            r["n_events"], r["first_event_id"], r["last_event_id"], r["duration_us"]
+        )
+        for r in entry_mod._sessionize_events(spark, sf).collect()
+    }
+    assert got == want
+    assert multi_session_seen  # gaps actually split somewhere
