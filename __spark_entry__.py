@@ -2638,6 +2638,93 @@ def _sessionize_events(spark, sf_dir):
     )
 
 
+def _length_deciles(spark, sf_dir):
+    """Per-source document-length decile buckets — the curriculum /
+    length-filter planning view (which length band holds the tokens?):
+    ntile(10) over (n_chars, doc_id) within each source, rolled up to
+    per-(source, decile) count and min/max length. The (n_chars, doc_id)
+    order key makes ntile deterministic despite length ties.
+
+    Scale shape: ONE source-keyed shuffle + one sort feeding the ntile
+    window, then a (source, decile) agg with map-side partials. Skew
+    bound = one source's doc count — at 100 TB the same per-entity
+    window bound as sessionization; a mega-source's decile pass is a
+    sort, not a collect."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        d.select("source", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def _source_lang_rollup(spark, sf_dir):
+    """ROLLUP reporting aggregate — the corpus composition report every
+    mixture owner reads (per (source, lang), per source, and grand
+    total in ONE pass): doc counts and char totals with grouping-set
+    levels tagged by GROUPING() flags so subtotal rows are
+    distinguishable from data rows ('ALL' markers).
+
+    Scale shape: Spark plans ROLLUP as ONE Expand + hash aggregate with
+    map-side partials — one shuffle for all three grouping levels,
+    instead of three scans + a union. Output is bounded by
+    |sources| x |langs|."""
+    d = _t(spark, sf_dir, "documents")
+    r = d.rollup("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.grouping("source").cast("long").alias("g_source"),
+        F.grouping("lang").cast("long").alias("g_lang"),
+    )
+    return r.select(
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        "n_docs",
+        "total_chars",
+        "g_source",
+        "g_lang",
+    )
+
+
+def _quality_percentile(spark, sf_dir):
+    """Corpus-relative quality percentile — the rank-based normalization
+    a mixture sampler uses instead of raw scores (robust to score-scale
+    drift between sources): percent_rank of each doc's length-adjusted
+    word count within its language cohort, emitted as an INTEGER
+    permille ((1000 * (rank-1)) DIV (cohort-1)) so both engines agree
+    bit-for-bit; (score, doc_id) ordering makes rank deterministic
+    under ties.
+
+    Scale shape: one lang-keyed shuffle + sort feeding rank() and a
+    count() window over the same partitioning (one Window node pair,
+    no extra Exchange); permille arithmetic is a pure map after."""
+    d = _t(spark, sf_dir, "documents")
+    score = F.size(F.split("text", " ")).alias("n_words")
+    scored = d.select("doc_id", "lang", score)
+    w = Window.partitionBy("lang").orderBy("n_words", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.rank().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.expr(
+            "CASE WHEN n_lang > 1 THEN (1000 * (rnk - 1)) div (n_lang - 1) "
+            "ELSE 0 END"
+        ).alias("permille"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy (ADVICE r4: rotate, don't park): the driver's
     # correctness board records the FIRST 50 rows, so the registry leads
@@ -2671,12 +2758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_reconstruct": _line_dedup_reconstruct,
         "intradoc_dedup": _intradoc_dedup,  # within-doc counterpart of ^
         "chunk_keep_first_dedup": _chunk_keep_first_dedup,  # V19 global keep-first
-        "url_canonicalize": _url_canonicalize,
         "url_blocklist_filter": _url_blocklist_filter,  # V18 crawl-policy filter
         "cosine_near_dup": _cosine_near_dup,
         "ann_hyperplane": _ann_hyperplane,  # SQL-twinned; recall pytest-gated too
         "mplsh_knn": _mplsh_knn,  # twinned vs materialized NumPy reference
-        "ivf_knn": _ivf_knn,  # twinned vs materialized NumPy reference
         "semdedup_keep": _semdedup_keep,  # twinned vs NumPy reference
         # training-data pipeline operators
         "quality_filter_verdict": _quality_filter_verdict,
@@ -2705,8 +2790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "bpe_train": _bpe_train,  # twinned vs single-process reference trainer
         "bpe_encode": _bpe_encode,  # twinned vs reference encoder
-        "unigram_rarity": _unigram_rarity,
-        "bigram_lm_score": _bigram_lm_score,  # conditional-LM order above ^
+        "bigram_lm_score": _bigram_lm_score,  # conditional-LM surprise
+        # reporting / rank-normalization views (V24-V26)
+        "length_deciles": _length_deciles,
+        "source_lang_rollup": _source_lang_rollup,
+        "quality_percentile": _quality_percentile,
         # multimodal plumbing
         "modality_features": _modality_features,  # twinned vs NumPy reference
         # round-4 tail rows, promoted back onto the board this round
@@ -2721,12 +2809,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ngram_novelty, simhash_near_dup, bpe_encode, decontam_bloom_exact,
         # url_blocklist_filter, chunk_keep_first_dedup,
         # decontam_overlap_frac, lexical_diversity, asof_join_events,
-        # sessionize_events) ahead of long-stable
+        # sessionize_events, length_deciles, source_lang_rollup,
+        # quality_percentile) ahead of long-stable
         # primitives (word_jaccard/prefix_near_dup/doc_fingerprint/
         # token_stats were r3+r4 double-verified and demoted this round;
         # knn_l2/knn_cosine/modality_thumbnail/frame_sample/vocab_topk/
-        # bpe_merge_step were r3+r4 double-verified and demoted for the
-        # final-batch board seats).
+        # bpe_merge_step/url_canonicalize/ivf_knn/unigram_rarity were
+        # r3+r4 double-verified and demoted for the final-batch board
+        # seats (each leaves a stronger or same-family row on the board:
+        # blocklist shares url_canonicalize's pinned rules, mplsh covers
+        # the ANN family, bigram_lm supersedes unigram rarity).
+        "url_canonicalize": _url_canonicalize,
+        "ivf_knn": _ivf_knn,  # twinned vs materialized NumPy reference
+        "unigram_rarity": _unigram_rarity,
         "vocab_topk": _vocab_topk,
         "bpe_merge_step": _bpe_merge_step,
         "knn_l2": _knn_l2,
@@ -3287,6 +3382,55 @@ def oracle_sql() -> dict[str, str]:
                    max_by(event_id, us) AS last_event_id,
                    CAST(max(us) - min(us) AS BIGINT) AS duration_us
             FROM sess GROUP BY user_id, session_no
+        """,
+        # V24: identical ntile window over the deterministic
+        # (n_chars, doc_id) order key
+        "length_deciles": """
+            WITH t AS (
+              SELECT source, n_chars,
+                     ntile(10) OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                     ) AS decile
+              FROM documents
+            )
+            SELECT source, decile,
+                   count(*) AS n_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM t GROUP BY source, decile
+        """,
+        # V25: same ROLLUP grouping sets + GROUPING() flags; NULL group
+        # keys coalesced to 'ALL' on both sides
+        "source_lang_rollup": """
+            SELECT COALESCE(source, 'ALL') AS source,
+                   COALESCE(lang, 'ALL') AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(GROUPING(source) AS BIGINT) AS g_source,
+                   CAST(GROUPING(lang) AS BIGINT) AS g_lang
+            FROM documents
+            GROUP BY ROLLUP (source, lang)
+        """,
+        # V26: rank over the unique (n_words, doc_id) key -> integer
+        # permille, engine-exact
+        "quality_percentile": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     len(string_split(text, ' ')) AS n_words
+              FROM documents
+            ), r AS (
+              SELECT doc_id, lang, n_words,
+                     rank() OVER (
+                       PARTITION BY lang ORDER BY n_words, doc_id
+                     ) AS rnk,
+                     count(*) OVER (PARTITION BY lang) AS n_lang
+              FROM s
+            )
+            SELECT doc_id, lang, n_words,
+                   CASE WHEN n_lang > 1
+                        THEN (1000 * (rnk - 1)) // (n_lang - 1)
+                        ELSE 0 END AS permille
+            FROM r
         """,
         # V21: all-integer TTR/hapax rollup
         "lexical_diversity": """

@@ -921,3 +921,91 @@ def test_sessionize_events_matches_recomputation(spark):
     }
     assert got == want
     assert multi_session_seen  # gaps actually split somewhere
+
+
+def test_length_deciles_matches_recomputation(spark):
+    """Pure-Python ntile(10) recomputation per source over sf0.001: the
+    first (n mod 10) buckets get ceil(n/10) rows, the rest floor(n/10),
+    over the deterministic (n_chars, doc_id) order."""
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    want = {}
+    for src, docs in by_source.items():
+        docs.sort()
+        n = len(docs)
+        q, rem = divmod(n, 10)
+        i = 0
+        for d in range(1, 11):
+            size = q + (1 if d <= rem else 0)
+            if size == 0:
+                continue
+            bucket = docs[i : i + size]
+            i += size
+            want[(src, d)] = (
+                len(bucket),
+                min(c for c, _ in bucket),
+                max(c for c, _ in bucket),
+            )
+    got = {
+        (r["source"], r["decile"]): (r["n_docs"], r["min_chars"], r["max_chars"])
+        for r in entry_mod._length_deciles(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_source_lang_rollup_accounts(spark):
+    """The three ROLLUP levels must be mutually consistent: the grand
+    total equals the corpus, each source subtotal equals the sum of its
+    (source, lang) rows, and GROUPING flags tag exactly the subtotal
+    rows."""
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", "lang", "n_chars"
+    ).collect()
+    got = entry_mod._source_lang_rollup(spark, sf).collect()
+    n_total = len(rows)
+    chars_total = sum(r["n_chars"] for r in rows)
+    grand = [r for r in got if r["g_source"] == 1 and r["g_lang"] == 1]
+    assert len(grand) == 1
+    assert (grand[0]["source"], grand[0]["lang"]) == ("ALL", "ALL")
+    assert grand[0]["n_docs"] == n_total and grand[0]["total_chars"] == chars_total
+    leaves = [r for r in got if r["g_source"] == 0 and r["g_lang"] == 0]
+    subtotals = {r["source"]: r for r in got if r["g_source"] == 0 and r["g_lang"] == 1}
+    assert not [r for r in got if r["g_source"] == 1 and r["g_lang"] == 0]
+    for src, sub in subtotals.items():
+        assert sub["lang"] == "ALL"
+        mine = [r for r in leaves if r["source"] == src]
+        assert sub["n_docs"] == sum(r["n_docs"] for r in mine)
+        assert sub["total_chars"] == sum(r["total_chars"] for r in mine)
+    assert sum(r["n_docs"] for r in leaves) == n_total
+
+
+def test_quality_percentile_matches_recomputation(spark):
+    """Pure-Python permille recomputation per language cohort (rank over
+    the unique (n_words, doc_id) key)."""
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(
+            (len(r["text"].split(" ")), r["doc_id"])
+        )
+    want = {}
+    for lang, docs in by_lang.items():
+        docs.sort()
+        n = len(docs)
+        for i, (nw, did) in enumerate(docs):
+            pm = (1000 * i) // (n - 1) if n > 1 else 0
+            want[did] = (lang, nw, pm)
+    got = {
+        r["doc_id"]: (r["lang"], r["n_words"], r["permille"])
+        for r in entry_mod._quality_percentile(spark, sf).collect()
+    }
+    assert got == want
